@@ -1,0 +1,170 @@
+"""Shape-primitive point-cloud decoder, fused for TPU.
+
+Re-design of the reference's AtlasNet-style decoder
+(``src/models/point_cloud_net.py:37-132``): ``num_clusters`` PrimitiveClusters,
+each holding one shared MLPDeformer plus ``num_nodes`` PrimitiveNodes. The
+reference executes these as **16 sequential Python-loop module calls per
+forward** (SURVEY.md §3.4) — 16 chains of cuDNN launches. Here all cluster
+and node parameters are stacked into leading axes and the whole decoder is a
+handful of einsums:
+
+    deformer:  (B,C,Nn,P,ori) x (C,ori,128) ...        per-cluster weights
+    nodes:     (B,C,Nn,P,1539) x (C,Nn,1539,1539) ...  per-node weights
+
+each of which is a single batched MXU matmul; XLA fuses the BN + activation
+chains between them. One forward = one fused computation instead of 16
+kernel-launch chains.
+
+Semantics preserved exactly (see BatchNorm docstring for the per-node-stats
+subtlety): widths ``d → d → d//2 → d//4 → 3`` with tanh output
+(point_cloud_net.py:66-80), deformer ``ori → 128 → 128 → 3`` with tanh
+(:44-55), template sampling per node (:98-100), conditioning vector tiled
+across points (:105), output ordered cluster-major / node-mid / point-minor
+(:107-110,131-132).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fpsg_tpu.nn.activations import get_activation
+from fpsg_tpu.nn.normalization import BatchNorm
+from fpsg_tpu.nn.templates import get_template
+
+
+class _StackedDense(nn.Module):
+    """Dense with parameters stacked over leading group axes.
+
+    kernel: (*groups, d_in, d_out); applied as einsum so each group's slice
+    multiplies its own weight — the vmap'd equivalent of N separate torch
+    Conv1d(k=1) modules.
+    """
+
+    groups: tuple  # e.g. (C,) for per-cluster, (C, Nn) for per-node
+    d_in: int
+    d_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, *groups, P, d_in)
+        bound = (1.0 / self.d_in) ** 0.5
+
+        def kinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param(
+            "kernel", kinit, (*self.groups, self.d_in, self.d_out)
+        )
+        if len(self.groups) == 1:
+            y = jnp.einsum("bcpd,cde->bcpe", x, kernel)
+        elif len(self.groups) == 2:
+            y = jnp.einsum("bcnpd,cnde->bcnpe", x, kernel)
+        else:
+            raise ValueError("1 or 2 group axes supported")
+        if self.use_bias:
+            bias = self.param("bias", kinit, (*self.groups, self.d_out))
+            y = y + bias[None, ..., None, :]
+        return y
+
+
+class PrimitiveDecoder(nn.Module):
+    """(B, bottleneck) conditioning → (B, num_points, 3) point cloud.
+
+    Template RNG comes from the flax 'template' RNG stream (explicit key
+    discipline replaces the reference's in-place CUDA ``uniform_``).
+    """
+
+    num_clusters: int = 4
+    num_nodes: int = 4
+    num_points: int = 2048
+    bottleneck_size: int = 1536
+    ori_dim: int = 2           # template (original surface) dim
+    raw_dim: int = 3           # deformed surface dim
+    template_type: str = "SQUARE"
+    activation: str = "relu"
+    deformer_width: int = 128  # MLPDeformer layer_size (point_cloud_net.py:40)
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        h: jax.Array,
+        train: bool,
+        template_points: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        b = h.shape[0]
+        c, nn_, w = self.num_clusters, self.num_nodes, self.deformer_width
+        ppn = self.num_points // c // nn_
+        act = get_activation(self.activation)
+        d_node = self.raw_dim + self.bottleneck_size
+
+        if template_points is None:
+            template = get_template(self.template_type)
+            assert template.dim == self.ori_dim, (
+                f"template dim {template.dim} != ori_dim {self.ori_dim}"
+            )
+            key = self.make_rng("template")
+            raw = template.get_random_points(
+                key, (b, c, nn_, ppn, self.ori_dim)
+            )
+        else:
+            raw = template_points                     # (B, C, Nn, P, ori)
+
+        # --- Shared-per-cluster deformer (MLPDeformer :44-55) -------------
+        # BN: params/running stats per (cluster, channel); train-mode batch
+        # stats per (cluster, node, channel) — the reference calls the
+        # shared deformer once per node.
+        def dbn(name):
+            return BatchNorm(
+                feature_axes=(1, -1),
+                group_axes=(2,),
+                axis_name=self.axis_name,
+                name=name,
+            )
+
+        d = _StackedDense((c,), self.ori_dim, w, name="deformer_conv1")(
+            raw.reshape(b, c, nn_ * ppn, self.ori_dim)
+        ).reshape(b, c, nn_, ppn, w)
+        d = act(dbn("deformer_bn1")(d, not train))
+        d = _StackedDense((c,), w, w, name="deformer_conv2")(
+            d.reshape(b, c, nn_ * ppn, w)
+        ).reshape(b, c, nn_, ppn, w)
+        d = act(dbn("deformer_bn2")(d, not train))
+        d = jnp.tanh(
+            _StackedDense((c,), w, self.raw_dim, name="deformer_conv3")(
+                d.reshape(b, c, nn_ * ppn, w)
+            ).reshape(b, c, nn_, ppn, self.raw_dim)
+        )
+
+        # --- Conditioning: [h ‖ deformed] per point (:105-107) ------------
+        cond = jnp.broadcast_to(
+            h[:, None, None, None, :], (b, c, nn_, ppn, h.shape[-1])
+        )
+        x = jnp.concatenate([cond, d], axis=-1)       # (B,C,Nn,P,1539)
+
+        # --- Per-node primitive MLPs (PrimitiveNode :66-80) ---------------
+        def nbn(name):
+            return BatchNorm(
+                feature_axes=(1, 2, -1),
+                axis_name=self.axis_name,
+                name=name,
+            )
+
+        dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
+        for i in range(3):
+            x = _StackedDense(
+                (c, nn_), dims[i], dims[i + 1], name=f"node_conv{i + 1}"
+            )(x)
+            x = act(nbn(f"node_bn{i + 1}")(x, not train))
+        x = jnp.tanh(
+            _StackedDense((c, nn_), dims[3], dims[4], name="node_conv4")(x)
+        )
+
+        # cluster-major, node-mid, point-minor ordering (:107-110,131-132);
+        # total = C*Nn*ppn (integer division like the reference, :89-95).
+        return x.reshape(b, c * nn_ * ppn, 3)

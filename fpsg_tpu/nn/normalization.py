@@ -1,0 +1,136 @@
+"""Batch normalization with PyTorch semantics, multi-axis features, and
+cross-replica statistics.
+
+Why not ``flax.linen.BatchNorm``: parity with the reference requires
+(a) torch's momentum convention (``running = (1-m)*running + m*batch``,
+    m = 0.1),
+(b) torch's *unbiased* variance in the running estimate while normalizing
+    with the biased one (``torch.nn.BatchNorm1d`` behavior),
+(c) per-(cluster, node) parameter/stat stacking for the fused decoder — the
+    reference instantiates 16 separate ``PrimitiveNode`` BNs and 4 shared
+    ``MLPDeformer`` BNs that are *called once per node* (reference
+    ``src/models/point_cloud_net.py:44-55,66-80,97-110``), so a shared
+    deformer BN sees per-node batch statistics but keeps a single running
+    estimate updated sequentially, and
+(d) ``pmean`` over a data-parallel mesh axis so sharded episodes reproduce
+    single-device statistics (SURVEY.md §2.6 item 2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _canon(axes: Tuple[int, ...], ndim: int) -> Tuple[int, ...]:
+    return tuple(a % ndim for a in axes)
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch norm over arbitrary feature/group axes.
+
+    Attributes:
+      feature_axes: input axes whose dims shape the learned scale/bias AND
+        the running statistics (e.g. ``(-1,)`` for a plain channel BN;
+        ``(1, 2, -1)`` for per-(cluster, node, channel) stacked BNs).
+      group_axes: extra input axes that receive *separate batch statistics*
+        in training (each group normalizes with its own stats, emulating the
+        reference's one-call-per-node pattern) while sharing a single running
+        estimate, updated as if the groups had been processed sequentially
+        in index order.
+      momentum: torch convention — fraction of the new batch statistic.
+      axis_name: optional mesh axis for cross-replica statistics.
+    """
+
+    feature_axes: Tuple[int, ...] = (-1,)
+    group_axes: Tuple[int, ...] = ()
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+        ndim = x.ndim
+        f_axes = _canon(self.feature_axes, ndim)
+        g_axes = _canon(self.group_axes, ndim)
+        assert not set(f_axes) & set(g_axes)
+        reduce_axes = tuple(
+            i for i in range(ndim) if i not in f_axes and i not in g_axes
+        )
+        param_shape = tuple(x.shape[a] for a in sorted(f_axes))
+
+        scale = self.param("scale", nn.initializers.ones, param_shape)
+        bias = self.param("bias", nn.initializers.zeros, param_shape)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(param_shape, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(param_shape, jnp.float32)
+        )
+
+        def expand(v):
+            """Broadcast a (param_shape)-array to the input rank."""
+            shape = [1] * ndim
+            for a, s in zip(sorted(f_axes), v.shape):
+                shape[a] = s
+            return v.reshape(shape)
+
+        if use_running_average:
+            mean = expand(ra_mean.value)
+            var = expand(ra_var.value)
+        else:
+            xf = x.astype(jnp.float32)
+            # Per-(feature x group) batch statistics.
+            mean_g = jnp.mean(xf, axis=reduce_axes, keepdims=True)
+            meansq_g = jnp.mean(xf * xf, axis=reduce_axes, keepdims=True)
+            n = 1
+            for a in reduce_axes:
+                n *= x.shape[a]
+            if self.axis_name is not None:
+                mean_g = jax.lax.pmean(mean_g, self.axis_name)
+                meansq_g = jax.lax.pmean(meansq_g, self.axis_name)
+                n *= jax.lax.psum(1, self.axis_name)
+            var_g = jnp.maximum(meansq_g - mean_g * mean_g, 0.0)
+            mean, var = mean_g, var_g
+
+            if not self.is_initializing():
+                m = self.momentum
+                bessel = n / max(n - 1, 1)
+                # Collapse group axes as if updated sequentially in index
+                # order: r' = (1-m)^G r + m * sum_g (1-m)^(G-1-g) s_g.
+                def fold(stat_g):
+                    s = jnp.squeeze(
+                        stat_g,
+                        axis=tuple(
+                            a for a in reduce_axes
+                        ),
+                    )
+                    # Now shaped by (group x feature) axes in input order;
+                    # move group axes to the front, flatten.
+                    remaining = [a for a in range(ndim) if a in f_axes or a in g_axes]
+                    # s currently indexed by `remaining` in input order.
+                    g_pos = [remaining.index(a) for a in sorted(g_axes)]
+                    f_pos = [remaining.index(a) for a in sorted(f_axes)]
+                    s = jnp.transpose(s, g_pos + f_pos)
+                    n_groups = 1
+                    for a in g_axes:
+                        n_groups *= x.shape[a]
+                    s = s.reshape((n_groups,) + param_shape)
+                    w = m * (1.0 - m) ** jnp.arange(
+                        n_groups - 1, -1, -1, dtype=jnp.float32
+                    )
+                    folded = jnp.tensordot(w, s, axes=(0, 0))
+                    return folded, (1.0 - m) ** n_groups
+
+                new_mean, decay = fold(mean_g)
+                new_var, _ = fold(var_g * bessel)
+                ra_mean.value = decay * ra_mean.value + new_mean
+                ra_var.value = decay * ra_var.value + new_var
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * expand(scale) + expand(bias)
+        return y.astype(self.dtype or x.dtype)

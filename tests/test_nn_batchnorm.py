@@ -1,0 +1,139 @@
+"""Golden parity: fpsg_tpu BatchNorm vs torch.nn.BatchNorm1d semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from fpsg_tpu.nn.normalization import BatchNorm
+
+
+def _make(feature_axes=(-1,), group_axes=()):
+    return BatchNorm(feature_axes=feature_axes, group_axes=group_axes)
+
+
+def test_train_output_and_running_stats_match_torch(rng):
+    b, n, ch = 6, 50, 16
+    x = rng.standard_normal((b, n, ch)).astype(np.float32)
+
+    bn = _make()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.array(x), False)
+    # seed non-trivial params/stats
+    scale = rng.standard_normal(ch).astype(np.float32)
+    bias_ = rng.standard_normal(ch).astype(np.float32)
+    rmean = rng.standard_normal(ch).astype(np.float32)
+    rvar = rng.uniform(0.5, 2.0, ch).astype(np.float32)
+    variables = {
+        "params": {"scale": jnp.array(scale), "bias": jnp.array(bias_)},
+        "batch_stats": {"mean": jnp.array(rmean), "var": jnp.array(rvar)},
+    }
+    y, updated = bn.apply(
+        variables, jnp.array(x), False, mutable=["batch_stats"]
+    )
+
+    tbn = torch.nn.BatchNorm1d(ch)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias_))
+        tbn.running_mean.copy_(torch.from_numpy(rmean))
+        tbn.running_var.copy_(torch.from_numpy(rvar))
+    tbn.train()
+    # torch layout (B, C, N)
+    ty = tbn(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1)
+
+    np.testing.assert_allclose(np.asarray(y), ty.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_eval_matches_torch(rng):
+    b, n, ch = 4, 30, 8
+    x = rng.standard_normal((b, n, ch)).astype(np.float32)
+    scale = rng.standard_normal(ch).astype(np.float32)
+    bias_ = rng.standard_normal(ch).astype(np.float32)
+    rmean = rng.standard_normal(ch).astype(np.float32)
+    rvar = rng.uniform(0.5, 2.0, ch).astype(np.float32)
+
+    bn = _make()
+    variables = {
+        "params": {"scale": jnp.array(scale), "bias": jnp.array(bias_)},
+        "batch_stats": {"mean": jnp.array(rmean), "var": jnp.array(rvar)},
+    }
+    y = bn.apply(variables, jnp.array(x), True)
+
+    tbn = torch.nn.BatchNorm1d(ch)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias_))
+        tbn.running_mean.copy_(torch.from_numpy(rmean))
+        tbn.running_var.copy_(torch.from_numpy(rvar))
+    tbn.eval()
+    ty = tbn(torch.from_numpy(x).permute(0, 2, 1)).permute(0, 2, 1)
+    np.testing.assert_allclose(np.asarray(y), ty.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_sequential_running_update_matches_torch_loop(rng):
+    """Shared BN applied once per node (reference deformer pattern):
+    grouped train-mode stats + sequentially-folded running update."""
+    b, g, p, ch = 3, 4, 32, 8
+    x = rng.standard_normal((b, g, p, ch)).astype(np.float32)
+
+    bn = BatchNorm(feature_axes=(-1,), group_axes=(1,))
+    scale = rng.standard_normal(ch).astype(np.float32)
+    bias_ = rng.standard_normal(ch).astype(np.float32)
+    variables = {
+        "params": {"scale": jnp.array(scale), "bias": jnp.array(bias_)},
+        "batch_stats": {"mean": jnp.zeros(ch), "var": jnp.ones(ch)},
+    }
+    y, updated = bn.apply(
+        variables, jnp.array(x), False, mutable=["batch_stats"]
+    )
+
+    tbn = torch.nn.BatchNorm1d(ch)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias_))
+    tbn.train()
+    outs = []
+    for i in range(g):
+        xi = torch.from_numpy(x[:, i]).permute(0, 2, 1)   # (B, C, P)
+        outs.append(tbn(xi).permute(0, 2, 1).detach().numpy())
+    want = np.stack(outs, axis=1)
+
+    np.testing.assert_allclose(np.asarray(y), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["mean"]),
+        tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updated["batch_stats"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_multiaxis_features(rng):
+    """Per-(cluster, node, channel) stacked BNs == 16 separate torch BNs."""
+    b, c, nn_, p, ch = 2, 2, 3, 16, 4
+    x = rng.standard_normal((b, c, nn_, p, ch)).astype(np.float32)
+    bn = BatchNorm(feature_axes=(1, 2, -1))
+    variables = bn.init(jax.random.PRNGKey(0), jnp.array(x), False)
+    assert variables["params"]["scale"].shape == (c, nn_, ch)
+    y, updated = bn.apply(
+        variables, jnp.array(x), False, mutable=["batch_stats"]
+    )
+
+    for ci in range(c):
+        for ni in range(nn_):
+            tbn = torch.nn.BatchNorm1d(ch)
+            tbn.train()
+            xi = torch.from_numpy(x[:, ci, ni]).permute(0, 2, 1)
+            ty = tbn(xi).permute(0, 2, 1).detach().numpy()
+            np.testing.assert_allclose(
+                np.asarray(y)[:, ci, ni], ty, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(updated["batch_stats"]["mean"])[ci, ni],
+                tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
