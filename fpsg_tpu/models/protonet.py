@@ -1,0 +1,227 @@
+"""The core network: image branch + prototype branch + primitive decoder.
+
+Re-design of ``ImgPCProtoNet`` (reference ``src/models/few_shot.py:19-214``)
+as a flax module with pure ``loss`` / ``reconstruct`` / ``generate``
+entry points. One call = one fused XLA computation: both encoder corpora are
+batched exactly as the reference batches them (ad+query images together,
+support+ad clouds together — few_shot.py:84-102), the prototype is a mean
+over support features (:104), and the decoder runs on the concatenated
+conditioning.
+
+Episode tensors here are single-class (n_way == 1, which the reference
+hardcodes — ``src/datasets/modelnet.py:106``, SURVEY.md §5.1 item 9):
+
+    xs   (S, H, W, 3)   support images        (unused by the loss, kept for
+                                               interface parity)
+    xq   (Q, H, W, 3)   query images
+    xad  (S, H, W, 3)   auxiliary ("ad") images drawn across all classes
+    pcs  (S, N, 3)      support point clouds
+    pcq  (Q, N, 3)      query point clouds (ground truth)
+    pcad (S, N, 3)      auxiliary point clouds
+
+Batching over episodes is done OUTSIDE this module (vmap/shard_map in
+fpsg_tpu.parallel), preserving the reference's per-episode BatchNorm
+statistics.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fpsg_tpu.nn.decoder import PrimitiveDecoder
+from fpsg_tpu.nn.dgcnn import DGCNNFeat
+from fpsg_tpu.nn.pointnet import PointNetEncoder
+from fpsg_tpu.nn.vgg import ImageEncoder
+
+_AGGREGATORS = ("single", "multi", "mask_single", "mask_multi")
+
+
+class PCEncoder(nn.Module):
+    """Backbone selector (``src/models/point_cloud_net.py:21-35``).
+
+    The param tree nests ``pc_encoder.pointnet_feat_extractor...`` to mirror
+    the torch state-dict layout of the shipped pretrained checkpoints
+    (SURVEY.md §3.3), making ingestion a mechanical key map.
+    """
+
+    core: str = "pointnet"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.core == "pointnet":
+            return PointNetEncoder(
+                axis_name=self.axis_name, name="pc_encoder"
+            )(x, train)
+        if self.core == "dgcnn":
+            return DGCNNFeat(axis_name=self.axis_name, name="pc_encoder")(
+                x, train
+            )
+        raise NotImplementedError(
+            f"Unsupported Point Cloud Encoder Core: {self.core}"
+        )
+
+
+class ImgPCProtoNet(nn.Module):
+    """Few-shot single-image point-cloud generator."""
+
+    img_backbone: str = "vgg_16"
+    pc_backbone: str = "pointnet"
+    num_clusters: int = 4
+    num_nodes: int = 4
+    num_points: int = 2048
+    bottleneck_size: int = 1536
+    ori_dim: int = 2
+    raw_dim: int = 3
+    template_type: str = "SQUARE"
+    activation: str = "relu"
+    query_factor: float = 1.0
+    support_factor: float = 1.0
+    metric: str = "cd"
+    intra_support: bool = False
+    aggregate: str = "single"
+    axis_name: Optional[str] = None
+
+    def setup(self):
+        if self.aggregate not in _AGGREGATORS:
+            raise NotImplementedError(
+                f"Found unsupported prototype aggregation: {self.aggregate}"
+            )
+        if self.aggregate != "single":
+            # Reference accepts these flags but only 'single' semantics are
+            # implemented (few_shot.py:49-52, SURVEY.md §5.1 item 10).
+            warnings.warn(
+                f"aggregate='{self.aggregate}' behaves as 'single' "
+                "(reference parity: mask/multi modes are inert)"
+            )
+        if self.metric not in ("cd", "emd"):
+            raise NotImplementedError(
+                "Found unsupported point cloud reconstruction metrics: "
+                f"{self.metric}"
+            )
+        self.img_encoder = ImageEncoder(
+            backbone=self.img_backbone, axis_name=self.axis_name,
+            name="img_encoder",
+        )
+        self.pc_encoder = PCEncoder(
+            core=self.pc_backbone, axis_name=self.axis_name,
+            name="pc_encoder_wrap",
+        )
+        self.pc_decoder = PrimitiveDecoder(
+            num_clusters=self.num_clusters,
+            num_nodes=self.num_nodes,
+            num_points=self.num_points,
+            bottleneck_size=self.bottleneck_size,
+            ori_dim=self.ori_dim,
+            raw_dim=self.raw_dim,
+            template_type=self.template_type,
+            activation=self.activation,
+            axis_name=self.axis_name,
+            name="pc_decoder",
+        )
+
+    # -- shared encode path (few_shot.py:84-107) ---------------------------
+
+    def _encode(self, sample: Dict[str, jax.Array], train: bool):
+        xq, xad = sample["xq"], sample["xad"]
+        pcs, pcad = sample["pcs"], sample["pcad"]
+        n_support, n_query = xad.shape[0], xq.shape[0]
+
+        # Images: [ad ‖ query] in one batch.
+        img_corpus = jnp.concatenate([xad, xq], axis=0)
+        img_z = self.img_encoder(img_corpus, train)
+        img_zad, img_zq = img_z[:n_support], img_z[n_support:]
+
+        # Point clouds: [support ‖ ad] in one batch.
+        pc_corpus = jnp.concatenate([pcs, pcad], axis=0)
+        pc_z = self.pc_encoder(pc_corpus, train)
+        pc_z_proto = pc_z[:n_support]
+        pc_z_ad = pc_z[n_support:]
+
+        # Class-specific shape prior: mean of support features (:104).
+        proto = jnp.mean(pc_z_proto, axis=0, keepdims=True)
+        proto_mat_q = jnp.broadcast_to(
+            proto, (n_query, proto.shape[-1])
+        )
+        return img_zad, img_zq, pc_z_ad, proto_mat_q
+
+    def _pc_metric(self, syn: jax.Array, ref: jax.Array) -> jax.Array:
+        # Imported lazily to keep module import light under linen transforms.
+        from fpsg_tpu.ops.chamfer import chamfer_distance
+        from fpsg_tpu.ops.emd import sinkhorn_emd
+
+        if self.metric == "cd":
+            return chamfer_distance(syn, ref).sum()
+        return sinkhorn_emd(syn, ref, reduce="sum")
+
+    # -- public entry points ----------------------------------------------
+
+    def __call__(self, sample: Dict[str, jax.Array], train: bool = True):
+        return self.loss(sample, train)
+
+    def loss(
+        self, sample: Dict[str, jax.Array], train: bool = True
+    ) -> Dict[str, Any]:
+        """Training objective (few_shot.py:63-129)."""
+        img_zad, img_zq, pc_z_ad, proto_mat_q = self._encode(sample, train)
+
+        syn_q = self.pc_decoder(
+            jnp.concatenate([img_zq, proto_mat_q], axis=1), train
+        )
+        loss_rec_q = self._pc_metric(syn_q, sample["pcq"])
+
+        if self.intra_support:
+            # Intra-support reconstruction conditions on per-sample ad
+            # features, not the prototype (few_shot.py:112-117).
+            syn_s = self.pc_decoder(
+                jnp.concatenate([img_zad, pc_z_ad], axis=1), train
+            )
+            loss_rec_s = self._pc_metric(syn_s, sample["pcad"])
+        else:
+            loss_rec_s = jnp.zeros((), jnp.float32)
+
+        loss_recon = (
+            self.query_factor * loss_rec_q + self.support_factor * loss_rec_s
+        )
+        return {
+            "ttl_loss": loss_recon,
+            "recon_loss": loss_recon,
+            "query_rec_loss": loss_rec_q,
+            "support_rec_loss": loss_rec_s,
+        }
+
+    def reconstruct(self, sample: Dict[str, jax.Array]) -> Dict[str, Any]:
+        """Eval path: CD and EMD on the query set
+        (``_return_reconstruction``, few_shot.py:131-176)."""
+        from fpsg_tpu.ops.chamfer import chamfer_distance
+        from fpsg_tpu.ops.emd import sinkhorn_emd
+
+        _, img_zq, _, proto_mat_q = self._encode(sample, train=False)
+        syn_q = self.pc_decoder(
+            jnp.concatenate([img_zq, proto_mat_q], axis=1), train=False
+        )
+        cd = chamfer_distance(syn_q, sample["pcq"]).sum()
+        emd = sinkhorn_emd(syn_q, sample["pcq"], reduce="sum")
+        return {
+            "cd_loss": self.query_factor * cd,
+            "emd_loss": emd,
+            "syn_pc": syn_q,
+        }
+
+    def generate(self, sample: Dict[str, jax.Array]) -> jax.Array:
+        """Synthesize query clouds (draw_reconstruction forward path,
+        few_shot.py:179-213): prototype from the SUPPORT set (not ad)."""
+        xq, pcs = sample["xq"], sample["pcs"]
+        n_query = xq.shape[0]
+        img_z = self.img_encoder(xq, False)
+        pc_z = self.pc_encoder(pcs, False)
+        proto = jnp.mean(pc_z, axis=0, keepdims=True)
+        proto_mat_q = jnp.broadcast_to(proto, (n_query, proto.shape[-1]))
+        return self.pc_decoder(
+            jnp.concatenate([img_z, proto_mat_q], axis=1), train=False
+        )
