@@ -1,0 +1,164 @@
+"""Procedural synthetic dataset (SURVEY.md §4: the integration fixture).
+
+Shape classes with analytically-sampled surfaces and matching orthographic
+silhouette "renders", so the image genuinely predicts the geometry:
+
+  cube, sphere, cylinder, pyramid, torus
+
+Two products:
+- :func:`synthetic_corpus` — an in-memory :class:`ClassCorpus` for unit /
+  integration tests and the benchmark harness;
+- :func:`materialize_fake_modelnet` — a tiny on-disk ModelNet-format tree
+  (PNG views + ASCII PLY clouds) for exercising the manifest generator and
+  the real file-reading path end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from fpsg_tpu.data.corpus import ClassCorpus
+
+SHAPES = ("cube", "sphere", "cylinder", "pyramid", "torus")
+
+
+def _sample_shape(name: str, n: int, rng: np.random.Generator) -> np.ndarray:
+    if name == "sphere":
+        v = rng.standard_normal((n, 3))
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+    if name == "cube":
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-1, 1, (n, 2))
+        pts = np.empty((n, 3))
+        axis, sign = face // 2, (face % 2) * 2 - 1
+        for i in range(n):
+            rest = [a for a in range(3) if a != axis[i]]
+            pts[i, axis[i]] = sign[i]
+            pts[i, rest] = uv[i]
+        return pts
+    if name == "cylinder":
+        theta = rng.uniform(0, 2 * np.pi, n)
+        z = rng.uniform(-1, 1, n)
+        return np.stack([np.cos(theta), z, np.sin(theta)], axis=1)
+    if name == "pyramid":
+        # square cross-sections shrinking linearly toward the apex
+        base = rng.uniform(-1, 1, (n, 2))
+        h = rng.uniform(0, 1, n)
+        return np.stack(
+            [base[:, 0] * (1 - h), -1 + 2 * h, base[:, 1] * (1 - h)], axis=1
+        )
+    if name == "torus":
+        theta = rng.uniform(0, 2 * np.pi, n)
+        phi = rng.uniform(0, 2 * np.pi, n)
+        r, big_r = 0.3, 0.7
+        return np.stack(
+            [
+                (big_r + r * np.cos(phi)) * np.cos(theta),
+                r * np.sin(phi),
+                (big_r + r * np.cos(phi)) * np.sin(theta),
+            ],
+            axis=1,
+        )
+    raise ValueError(name)
+
+
+def _render_silhouette(
+    points: np.ndarray, img_size: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Orthographic splat of the (x, y) footprint onto an image, with a bit
+    of shading by depth; cheap but geometry-faithful."""
+    img = np.full((img_size, img_size, 3), 255, np.uint8)
+    xy = points[:, :2]
+    z = points[:, 2]
+    uv = ((xy * 0.4 + 0.5) * (img_size - 1)).astype(int)
+    uv = np.clip(uv, 0, img_size - 1)
+    shade = ((z - z.min()) / (np.ptp(z) + 1e-9) * 160 + 40).astype(np.uint8)
+    img[uv[:, 1], uv[:, 0]] = shade[:, None]
+    return img
+
+
+def synthetic_corpus(
+    n_classes: int = 2,
+    items_per_class: int = 12,
+    n_pts: int = 2048,
+    img_size: int = 224,
+    seed: int = 0,
+    jitter: float = 0.05,
+) -> ClassCorpus:
+    rng = np.random.default_rng(seed)
+    names = list(SHAPES[:n_classes])
+    images: List[np.ndarray] = []
+    clouds: List[np.ndarray] = []
+    for name in names:
+        cls_imgs, cls_pcs = [], []
+        for _ in range(items_per_class):
+            pc = _sample_shape(name, n_pts, rng)
+            scale = rng.uniform(0.7, 1.0)
+            pc = pc * scale + rng.normal(0, jitter, pc.shape)
+            # unit-ball normalize like the real loaders
+            pc = pc - pc.mean(0, keepdims=True)
+            pc = pc / max(np.linalg.norm(pc, axis=1).max(), 1e-12)
+            cls_pcs.append(pc.astype(np.float32))
+            cls_imgs.append(_render_silhouette(pc, img_size, rng))
+        images.append(np.stack(cls_imgs))
+        clouds.append(np.stack(cls_pcs))
+    return ClassCorpus(class_names=names, images=images, clouds=clouds)
+
+
+def _write_ascii_ply(path: str, points: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(points)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "end_header\n"
+        )
+        for p in points:
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+
+def materialize_fake_modelnet(
+    root: str,
+    classes: Optional[Sequence[str]] = None,
+    items_per_class: int = 6,
+    n_pts: int = 256,
+    img_size: int = 600,
+    seed: int = 0,
+):
+    """Write a miniature ModelNet-format tree:
+
+      <root>/images/<label>/<train|test>/<item>/<view>.png
+      <root>/clouds/<label>/<train|test>/<item>.ply
+
+    (the layout ``generate_dataset.py:64-97`` walks; 600x600 PNGs match the
+    reference renderer output, phong.py:29-31). Returns (img_root, pc_root).
+    """
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    classes = list(classes or SHAPES[:3])
+    img_root = os.path.join(root, "images")
+    pc_root = os.path.join(root, "clouds")
+    for label in classes:
+        for split, n_items in (("train", items_per_class),
+                               ("test", max(items_per_class // 3, 1))):
+            for j in range(n_items):
+                item = f"{label}_{split}_{j:04d}"
+                img_dir = os.path.join(img_root, label, split, item)
+                ply_dir = os.path.join(pc_root, label, split)
+                os.makedirs(img_dir, exist_ok=True)
+                os.makedirs(ply_dir, exist_ok=True)
+                pc = _sample_shape(label, n_pts, rng)
+                pc = pc * rng.uniform(0.7, 1.0) + rng.normal(0, 0.03, pc.shape)
+                _write_ascii_ply(
+                    os.path.join(ply_dir, f"{item}.ply"), pc.astype(np.float32)
+                )
+                img = _render_silhouette(
+                    pc / max(np.linalg.norm(pc, axis=1).max(), 1e-9),
+                    img_size, rng,
+                )
+                Image.fromarray(img).save(os.path.join(img_dir, "v000.png"))
+    return img_root, pc_root
