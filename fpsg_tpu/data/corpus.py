@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Optional, Sequence
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,15 +48,16 @@ class ClassCorpus:
         return np.array([len(c) for c in self.clouds], np.int32)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class DeviceCorpus:
-    """Padded stacks, device-resident (or shardable)."""
+    """Padded stacks, device-resident (or shardable). A pytree, so it flows
+    through jit/vmap; ``class_names`` is static metadata."""
 
     images: jax.Array          # (C, M, H, W, 3) uint8
     clouds: jax.Array          # (C, M, N, 3) float32
     counts: jax.Array          # (C,) int32 — valid items per class
     episode_counts: jax.Array  # (C,) int32 — counts where eligible else 0
-    class_names: List[str]
+    class_names: tuple = flax.struct.field(pytree_node=False, default=())
 
     @staticmethod
     def build(corpus: ClassCorpus, device=None) -> "DeviceCorpus":
@@ -79,7 +81,7 @@ class DeviceCorpus:
             clouds=put(clouds),
             counts=put(counts),
             episode_counts=put(np.where(eligible, counts, 0).astype(np.int32)),
-            class_names=list(corpus.class_names),
+            class_names=tuple(corpus.class_names),
         )
 
     @property

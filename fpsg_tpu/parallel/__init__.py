@@ -1,0 +1,30 @@
+"""Device-mesh parallelism (SURVEY.md §2.6).
+
+The reference is strictly single-process/single-GPU; the TPU-native
+equivalents defined here are:
+
+- **episode data-parallelism (dp)**: the episode batch axis is sharded over
+  the mesh; gradients are reduced by the mean over episodes, which XLA
+  lowers to ICI all-reduces (the NCCL replacement).
+- **primitive model-parallelism (mp)**: the decoder's stacked per-cluster /
+  per-node weights (~62 M of the ~80 M params) shard naturally along the
+  cluster axis; encoders stay replicated.
+- cross-replica BatchNorm (``axis_name`` pmean) is available in every
+  module for synced-stats mode.
+"""
+
+from fpsg_tpu.parallel.mesh import (
+    make_mesh,
+    shard_train_state,
+    shard_episode_batch,
+    replicate,
+    param_sharding_rules,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_train_state",
+    "shard_episode_batch",
+    "replicate",
+    "param_sharding_rules",
+]

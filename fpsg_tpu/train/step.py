@@ -1,0 +1,162 @@
+"""Jitted episodic train/eval steps.
+
+One step = on-device episode sampling + E vmapped episode forwards/backwards
++ one optimizer update. The reference's step (SURVEY.md §3.1) crosses the
+host/device boundary every episode; here the whole epoch inner loop is XLA.
+
+Episode batching semantics: the reference runs 1 episode per optimizer step.
+With ``n_episodes = E > 1`` we average E independent episode gradients (a
+larger effective batch); BatchNorm batch statistics stay per-episode (vmap),
+matching reference semantics exactly at E=1 and per-episode at E>1; running
+stats are averaged across the episode batch (the parallel analog of the
+reference's sequential updates — exact at E=1, documented divergence
+otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fpsg_tpu.data.corpus import DeviceCorpus, sample_episode_batch
+from fpsg_tpu.train.state import TrainState
+
+
+def init_model(model, sample, seed: int = 0) -> dict:
+    """Initialize model variables from a single example episode."""
+    return model.init(
+        {
+            "params": jax.random.PRNGKey(seed),
+            "template": jax.random.PRNGKey(seed + 1),
+        },
+        sample,
+        True,
+    )
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    n_support: int,
+    n_query: int,
+    n_episodes: int = 1,
+    donate: bool = True,
+    mesh=None,
+):
+    """Build the jitted train step: (state, corpus, key) → (state, metrics).
+
+    metrics: per-episode ``query_rec_loss`` / ``support_rec_loss`` (E,)
+    plus episode class ids — the host aggregates them per class like the
+    reference's epoch trackers (trainNetwork.py:139-151).
+
+    With ``mesh``, the sampled episode batch is sharding-constrained along
+    the mesh's 'dp' axis, so the E vmapped episode forwards/backwards run
+    data-parallel and the gradient mean lowers to an ICI all-reduce.
+    """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def dp_constrain(batch):
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x,
+                    NamedSharding(mesh, P("dp", *([None] * (x.ndim - 1)))),
+                ),
+                batch,
+            )
+    else:
+        dp_constrain = lambda b: b
+
+    def episode_loss(params, batch_stats, sample, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                sample,
+                True,
+                mutable=["batch_stats"],
+                rngs={"template": key},
+            )
+            return out["ttl_loss"], (out, mut["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return loss, out, new_stats, grads
+
+    def train_step(state: TrainState, corpus: DeviceCorpus, key):
+        k_data, k_tmpl = jax.random.split(key)
+        batch = sample_episode_batch(
+            k_data, corpus, n_support, n_query, n_episodes
+        )
+        batch = dp_constrain(batch)
+        tmpl_keys = jax.random.split(k_tmpl, n_episodes)
+
+        _, outs, new_stats, grads = jax.vmap(
+            episode_loss, in_axes=(None, None, 0, 0)
+        )(state.params, state.batch_stats, batch, tmpl_keys)
+
+        # Average gradients and running-stat updates across the episode
+        # batch (exact reference semantics at E=1).
+        grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads)
+        new_stats = jax.tree.map(lambda s: jnp.mean(s, axis=0), new_stats)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            batch_stats=new_stats,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "query_rec_loss": outs["query_rec_loss"],
+            "support_rec_loss": outs["support_rec_loss"],
+            "cls": batch["cls"],
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model, n_support: int, n_query: int, with_emd: bool = True):
+    """Jitted eval on a sampled episode batch: per-episode CD (+EMD).
+
+    Mirrors the trainer's in-loop eval (loss under no_grad,
+    trainNetwork.py:157-188) and the evaluator's ``_return_reconstruction``
+    path (evaluate_Network.py:101-118).
+    """
+
+    def one(variables, sample, key):
+        if with_emd:
+            out = model.apply(
+                variables, sample, method=model.reconstruct,
+                rngs={"template": key},
+            )
+            return {"cd_loss": out["cd_loss"], "emd_loss": out["emd_loss"]}
+        out = model.apply(
+            variables, sample, False, rngs={"template": key},
+        )
+        return {
+            "cd_loss": out["query_rec_loss"],
+            "support_rec_loss": out["support_rec_loss"],
+        }
+
+    def eval_step(state: TrainState, corpus: DeviceCorpus, key,
+                  n_episodes: int):
+        k_data, k_tmpl = jax.random.split(key)
+        batch = sample_episode_batch(
+            k_data, corpus, n_support, n_query, n_episodes
+        )
+        keys = jax.random.split(k_tmpl, n_episodes)
+        out = jax.vmap(one, in_axes=(None, 0, 0))(
+            state.variables, batch, keys
+        )
+        out["cls"] = batch["cls"]
+        return out
+
+    return jax.jit(eval_step, static_argnums=(3,))
