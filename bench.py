@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark: episodes/sec for flagship FPSG training on TPU.
+
+Config matches the reference's headline setting (BASELINE.json): ModelNet
+1-way 32-shot episodic training with --intra_recon — VGG16-bn image branch,
+PointNet shape-prior branch, 4x4 primitive decoder, 2048-point clouds,
+Chamfer loss, Adam. One measured unit = one episode (one optimizer step at
+E=1; E>1 batches episodes and counts each).
+
+Prints ONE json line:
+  {"metric": "episodes_per_sec_modelnet_1way_32shot_intra",
+   "value": ..., "unit": "episodes/s", "vs_baseline": ...}
+
+vs_baseline: ratio to the PyTorch reference implementation executing the
+same step. CUDA/Kaolin is unavailable in this environment, so the recorded
+baseline is the faithful torch re-implementation measured on this host's
+CPU (benchmarks/baseline_torch.py; see BASELINE.md for provenance and the
+--measure-baseline flag to refresh it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+BASELINE_EPS = None  # filled from BASELINE.json-adjacent record below
+
+# Measured by benchmarks/baseline_torch.py (torch CPU, this host,
+# 2026-08-16: 106 s/step — the step is ~3 TFLOP).
+# Refresh with: python bench.py --measure-baseline
+TORCH_CPU_BASELINE_EPS = 0.0094
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_fpsg")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+def measure_ours(n_episodes: int, steps: int, warmup: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    _enable_compile_cache()
+
+    from fpsg_tpu.data import DeviceCorpus, synthetic_corpus
+    from fpsg_tpu.models import ImgPCProtoNet
+    from fpsg_tpu.train import (
+        TrainState, init_model, make_optimizer, make_train_step,
+    )
+
+    n_support, n_query, n_pts, img = 32, 1, 2048, 224
+    model = ImgPCProtoNet(
+        img_backbone="vgg_16",
+        pc_backbone="pointnet",
+        intra_support=True,
+    )
+    corpus = DeviceCorpus.build(
+        synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
+                         img_size=img)
+    )
+    sample = {
+        "xs": jnp.zeros((n_support, img, img, 3)),
+        "xq": jnp.zeros((n_query, img, img, 3)),
+        "xad": jnp.zeros((n_support, img, img, 3)),
+        "pcs": jnp.zeros((n_support, n_pts, 3)),
+        "pcq": jnp.zeros((n_query, n_pts, 3)),
+        "pcad": jnp.zeros((n_support, n_pts, 3)),
+    }
+    variables = init_model(model, sample)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=100)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_train_step(
+        model, tx, n_support=n_support, n_query=n_query,
+        n_episodes=n_episodes,
+    )
+
+    def sync(metrics):
+        # device->host read: block_until_ready alone does not reliably
+        # drain the execution queue on the axon TPU platform.
+        return float(jax.device_get(metrics["query_rec_loss"]).sum())
+
+    key = jax.random.PRNGKey(0)
+    for i in range(warmup):
+        state, metrics = step(state, corpus, jax.random.fold_in(key, i))
+    sync(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, corpus, jax.random.fold_in(key, 100 + i))
+    sync(metrics)
+    dt = time.perf_counter() - t0
+    return n_episodes * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--episodes-per-step", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--measure-baseline", action="store_true",
+                    help="re-measure the torch-CPU reference baseline")
+    args = ap.parse_args()
+
+    baseline = TORCH_CPU_BASELINE_EPS
+    if args.measure_baseline:
+        from benchmarks.baseline_torch import measure_baseline
+
+        baseline = measure_baseline(steps=3)
+        print(f"# measured torch-CPU baseline: {baseline:.4f} episodes/s")
+
+    eps = measure_ours(args.episodes_per_step, args.steps, args.warmup)
+    print(json.dumps({
+        "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
+        "value": round(eps, 3),
+        "unit": "episodes/s",
+        "vs_baseline": round(eps / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
