@@ -1,0 +1,149 @@
+"""Typed configuration carrying the reference's exact CLI surface.
+
+One dataclass replaces the three duplicated argparse blocks
+(``src/trainNetwork.py:211-264``, ``src/evaluate_Network.py:128-181``,
+``src/trainPointAE.py:131-153``). Field names/defaults mirror the reference
+flags 1:1; framework-specific additions are grouped at the bottom.
+
+Reference bugs handled here (SURVEY.md §5.1):
+- ``--sequential_eval`` used ``action='store_ture'`` (typo) and crashed both
+  drivers at startup; it works here.
+- ``--pc_dist`` was parsed but never forwarded to the model (training was
+  always CD); it is forwarded here — the default 'cd' preserves reference
+  behavior.
+- ``--epoch_start_recon`` is accepted and unused, exactly as in the
+  reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class FPSGConfig:
+    # Basic parameters — data path, N-way-K-shot, etc.
+    config_path: str = ""
+    test_path: str = ""
+    refer_path: str = "./modelnet_files/"
+    dataset: str = "modelnet"
+    pc_encoder_path: str = ""
+    n_way: int = 1
+    n_shot: int = 20
+    n_query: int = 0          # 0 → n_shot (trainNetwork.py:71)
+
+    # Network architecture
+    img_encoder: str = "vgg_16"
+    pc_encoder: str = "pointnet"
+    support_factor: float = 1.0
+    query_factor: float = 1.0
+    intra_recon: bool = False
+    epoch_start_recon: int = 0   # parsed-but-unused (reference parity)
+    num_clusters: int = 4
+    ori_dim: int = 2
+    raw_dim: int = 3
+    num_nodes: int = 4
+    device: str = "tpu"          # reference: 'cuda'; informational here
+    bottleneck_size: int = 1536
+    template_type: str = "SQUARE"
+    activation: str = "relu"
+    dim_template: int = 2
+    aggregate: str = "single"
+
+    # Training
+    n_episode: int = 100
+    epoch: int = 500
+    lr: float = 1e-3
+    lr_decay: int = 350
+    resume: int = -1
+    pc_dist: str = "cd"
+    SGD: bool = False
+
+    # Experiment
+    name: str = "0"
+    dir_name: str = ""
+    model_path: str = "../checkpoint"
+    save_interval: int = 50
+    sample_interval: int = 10
+    eval_interval: int = 20
+    eval_model: str = "NONE"
+    sequential_eval: bool = False
+
+    # --- framework additions (TPU) ------------------------------------
+    seed: int = 0
+    episodes_per_step: int = 1   # E>1 batches episodes per optimizer step
+    img_encoder_path: str = ""   # optional torchvision vgg16_bn weights
+    eval_episodes: int = 100     # random-sampler eval episodes
+    npy_folder: str = "./"       # evaluate_Network output dir
+    num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
+
+    @property
+    def effective_n_query(self) -> int:
+        return self.n_shot if self.n_query == 0 else self.n_query
+
+    @property
+    def num_points(self) -> int:
+        return self.num_pts
+
+
+def add_train_flags(parser: argparse.ArgumentParser) -> None:
+    """The trainNetwork.py flag surface (reference :211-264)."""
+    d = FPSGConfig()
+    p = parser.add_argument
+    p("--config_path", type=str, required=True)
+    p("--test_path", type=str, required=True)
+    p("--refer_path", type=str, default=d.refer_path)
+    p("--dataset", type=str, default="modelnet",
+      choices=["modelnet", "shapenet", "synthetic"])
+    p("--pc_encoder_path", type=str, default="")
+    p("--n_way", type=int, default=d.n_way)
+    p("--n_shot", type=int, default=d.n_shot)
+    p("--n_query", type=int, default=d.n_query)
+    p("--img_encoder", type=str, default=d.img_encoder)
+    p("--pc_encoder", type=str, default=d.pc_encoder)
+    p("--support_factor", type=float, default=d.support_factor)
+    p("--query_factor", type=float, default=d.query_factor)
+    p("--intra_recon", action="store_true")
+    p("--epoch_start_recon", type=int, default=d.epoch_start_recon)
+    p("--num_clusters", type=int, default=d.num_clusters)
+    p("--ori_dim", type=int, default=d.ori_dim)
+    p("--raw_dim", type=int, default=d.raw_dim)
+    p("--num_nodes", type=int, default=d.num_nodes)
+    p("--device", type=str, default=d.device)
+    p("--bottleneck_size", type=int, default=d.bottleneck_size)
+    p("--template_type", type=str, default=d.template_type)
+    p("--activation", type=str, default=d.activation)
+    p("--dim_template", type=int, default=d.dim_template)
+    p("--aggregate", type=str, default=d.aggregate,
+      choices=["single", "multi", "mask_single", "mask_multi"])
+    p("--n_episode", type=int, default=d.n_episode)
+    p("--epoch", type=int, default=d.epoch)
+    p("--lr", type=float, default=d.lr)
+    p("--lr_decay", type=int, default=d.lr_decay)
+    p("--resume", type=int, default=d.resume)
+    p("--pc_dist", type=str, default=d.pc_dist, choices=["cd", "emd"])
+    p("--SGD", action="store_true")
+    p("--name", type=str, default=d.name)
+    p("--dir_name", type=str, default=d.dir_name)
+    p("--model_path", type=str, default=d.model_path)
+    p("--save_interval", type=int, default=d.save_interval)
+    p("--sample_interval", type=int, default=d.sample_interval)
+    p("--eval_interval", type=int, default=d.eval_interval)
+    p("--eval_model", type=str, default=d.eval_model)
+    p("--sequential_eval", action="store_true")  # reference typo fixed
+    # framework additions
+    p("--seed", type=int, default=d.seed)
+    p("--episodes_per_step", type=int, default=d.episodes_per_step)
+    p("--img_encoder_path", type=str, default=d.img_encoder_path)
+    p("--eval_episodes", type=int, default=d.eval_episodes)
+    p("--npy_folder", type=str, default=d.npy_folder)
+    p("--num_pts", type=int, default=d.num_pts)
+
+
+def config_from_args(args: argparse.Namespace) -> FPSGConfig:
+    fields = {f.name for f in dataclasses.fields(FPSGConfig)}
+    return FPSGConfig(
+        **{k: v for k, v in vars(args).items() if k in fields}
+    )

@@ -202,6 +202,17 @@ def _load_legacy(path: str) -> Any:
     return _materialize(obj)
 
 
+def is_torch_file(path: str) -> bool:
+    """True for either torch serialization format (zip or legacy)."""
+    if zipfile.is_zipfile(path):
+        return True
+    try:
+        with open(path, "rb") as f:
+            return pickle.load(f) == _LEGACY_MAGIC
+    except Exception:
+        return False
+
+
 def load_torch_checkpoint(path: str) -> Any:
     """Load a torch ``.pt``/``.pth`` file into plain python/numpy objects."""
     if zipfile.is_zipfile(path):

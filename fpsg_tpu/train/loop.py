@@ -1,0 +1,329 @@
+"""End-to-end training/eval drivers (the logic of ``trainNetwork.py:67-208``
+and ``evaluate_Network.py:65-125``, re-built around jitted steps).
+
+Per epoch: ``n_episode`` episodes (E per optimizer step), per-class loss
+tracking, periodic eval (``eval_interval``), checkpoint save
+(``save_interval``, layout ``<model_path>/<name>/model_epoch_<e>``),
+qualitative samples (``sample_interval``), buffered log flush on save —
+exactly the reference's cadence and artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fpsg_tpu.config import FPSGConfig
+from fpsg_tpu.data.corpus import (
+    ClassCorpus, DeviceCorpus, sample_episode_batch, sequential_episode,
+)
+from fpsg_tpu.io.checkpoints import (
+    checkpoint_exists, restore_checkpoint, save_checkpoint,
+)
+from fpsg_tpu.models import ImgPCProtoNet
+from fpsg_tpu.train.optim import make_optimizer
+from fpsg_tpu.train.state import TrainState
+from fpsg_tpu.train.step import init_model, make_eval_step, make_train_step
+from fpsg_tpu.utils.logging import RunLogger
+from fpsg_tpu.utils.profiling import StepTimer
+from fpsg_tpu.utils.visualization import draw_reconstruction
+
+
+# ---------------------------------------------------------------------------
+# Construction helpers (reference build_model, trainNetwork.py:45-64)
+# ---------------------------------------------------------------------------
+
+def build_model(conf: FPSGConfig, axis_name: Optional[str] = None):
+    return ImgPCProtoNet(
+        img_backbone=conf.img_encoder,
+        pc_backbone=conf.pc_encoder,
+        num_clusters=conf.num_clusters,
+        num_nodes=conf.num_nodes,
+        num_points=conf.num_points,
+        bottleneck_size=conf.bottleneck_size,
+        ori_dim=conf.ori_dim,
+        raw_dim=conf.raw_dim,
+        template_type=conf.template_type,
+        activation=conf.activation,
+        query_factor=conf.query_factor,
+        support_factor=conf.support_factor,
+        metric=conf.pc_dist,
+        intra_support=conf.intra_recon,
+        aggregate=conf.aggregate,
+        axis_name=axis_name,
+    )
+
+
+def _merge_subtree(tree: Dict, path, sub: Dict) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    node[path[-1]] = sub
+
+
+def load_pretrained_weights(variables: Dict, conf: FPSGConfig) -> Dict:
+    """Graft pretrained weights into freshly-initialized variables:
+    the pc encoder (trainNetwork.py:57-60) and, when provided, torchvision
+    VGG16-bn features for the image branch (image_net.py:14)."""
+    variables = jax.tree.map(lambda x: x, variables)  # shallow copy
+    pc_path = conf.pc_encoder_path
+    if pc_path and (os.path.exists(pc_path)
+                    or os.path.exists(pc_path + ".msgpack")):
+        print("Pretrained Model exist, loading")
+        from fpsg_tpu.io.torch_pickle import is_torch_file
+
+        if os.path.isfile(pc_path) and is_torch_file(pc_path):
+            from fpsg_tpu.io.convert import load_pretrained_pc_encoder
+
+            loaded = load_pretrained_pc_encoder(pc_path, conf.pc_encoder)
+            for coll in ("params", "batch_stats"):
+                _merge_subtree(
+                    variables[coll], ("pc_encoder_wrap",), loaded[coll]
+                )
+        else:  # native checkpoint from fpsg_tpu pretraining
+            from fpsg_tpu.io.checkpoints import restore_checkpoint_raw
+
+            loaded = restore_checkpoint_raw(pc_path)
+            for coll in ("params", "batch_stats"):
+                _merge_subtree(
+                    variables[coll], ("pc_encoder_wrap",),
+                    loaded[coll]["pc_encoder_wrap"],
+                )
+    if conf.img_encoder_path and os.path.exists(conf.img_encoder_path):
+        from fpsg_tpu.io.convert import load_torchvision_vgg16_bn
+
+        loaded = load_torchvision_vgg16_bn(conf.img_encoder_path)
+        for coll in ("params", "batch_stats"):
+            _merge_subtree(
+                variables[coll], ("img_encoder", "encoder"), loaded[coll]
+            )
+    return variables
+
+
+def build_corpus(conf: FPSGConfig, config_path: str) -> ClassCorpus:
+    if conf.dataset == "modelnet":
+        from fpsg_tpu.data.modelnet import load_modelnet_corpus
+
+        return load_modelnet_corpus(
+            conf.refer_path, n_pts=conf.num_points, config_path=config_path,
+            seed=conf.seed,
+        )
+    if conf.dataset == "shapenet":
+        from fpsg_tpu.data.shapenet import load_shapenet_corpus
+
+        return load_shapenet_corpus(
+            conf.refer_path, n_pts=conf.num_points, seed=conf.seed,
+        )
+    if conf.dataset == "synthetic":
+        from fpsg_tpu.data.synthetic import synthetic_corpus
+
+        return synthetic_corpus(
+            n_classes=3, items_per_class=max(conf.n_shot * 3, 24),
+            n_pts=conf.num_points,
+        )
+    raise ValueError(f"unknown dataset: {conf.dataset}")
+
+
+def make_state(model, conf: FPSGConfig, tx, img_size=224) -> TrainState:
+    s, q, n = conf.n_shot, conf.effective_n_query, conf.num_points
+    sample = {
+        "xs": jnp.zeros((s, img_size, img_size, 3)),
+        "xq": jnp.zeros((q, img_size, img_size, 3)),
+        "xad": jnp.zeros((s, img_size, img_size, 3)),
+        "pcs": jnp.zeros((s, n, 3)),
+        "pcq": jnp.zeros((q, n, 3)),
+        "pcad": jnp.zeros((s, n, 3)),
+    }
+    variables = init_model(model, sample, seed=conf.seed)
+    variables = load_pretrained_weights(variables, conf)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training driver
+# ---------------------------------------------------------------------------
+
+def train_network(conf: FPSGConfig) -> TrainState:
+    n_query = conf.effective_n_query
+    checkpoint_path = os.path.join(conf.model_path, conf.name)
+    logger = RunLogger(checkpoint_path)
+
+    train_corpus = DeviceCorpus.build(build_corpus(conf, conf.config_path))
+    test_corpus = DeviceCorpus.build(build_corpus(conf, conf.test_path))
+    img_size = int(train_corpus.images.shape[2])
+
+    model = build_model(conf)
+    tx = make_optimizer(
+        lr=conf.lr, sgd=conf.SGD, lr_decay_epochs=conf.lr_decay,
+        steps_per_epoch=max(conf.n_episode // conf.episodes_per_step, 1),
+    )
+    state = make_state(model, conf, tx, img_size)
+
+    start_epoch = 1
+    if conf.resume > 0:
+        resume_path = os.path.join(
+            checkpoint_path, f"model_epoch_{conf.resume}"
+        )
+        if not checkpoint_exists(resume_path):
+            raise RuntimeError(f"{resume_path} does not exist, loading failed")
+        logger.log(f"Resume previous training, start from epoch {conf.resume}")
+        state = restore_checkpoint(resume_path, state)
+        start_epoch = conf.resume
+
+    e_per_step = conf.episodes_per_step
+    steps_per_epoch = max(conf.n_episode // e_per_step, 1)
+    train_step = make_train_step(
+        model, tx, conf.n_shot, n_query, n_episodes=e_per_step
+    )
+    eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=False)
+
+    key = jax.random.PRNGKey(conf.seed)
+    timer = StepTimer()
+
+    for epoch in range(start_epoch, conf.epoch + 1):
+        timer.reset()
+        ttl_q, ttl_s = 0.0, 0.0
+        for i in range(steps_per_epoch):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, train_corpus, sub)
+            ttl_q += float(jnp.sum(metrics["query_rec_loss"])) / n_query
+            ttl_s += float(jnp.sum(metrics["support_rec_loss"])) / conf.n_shot
+            timer.tick(e_per_step)
+
+        logger.log(
+            f"Training Results for Epoch -- {epoch} are: "
+            f"Query_rec: {ttl_q / conf.n_episode}, "
+            f"Support_rec: {ttl_s / conf.n_episode} "
+            f"[{timer.episodes_per_sec:.2f} episodes/s]"
+        )
+
+        # EVALUATION (reference cadence, trainNetwork.py:157-188)
+        if epoch % conf.eval_interval == 0 or epoch == conf.epoch:
+            key, sub = jax.random.split(key)
+            out = eval_step(state, test_corpus, sub, conf.eval_episodes)
+            cd = np.asarray(out["cd_loss"]) / n_query
+            cls = np.asarray(out["cls"])
+            per_class = defaultdict(list)
+            for c, v in zip(cls, cd):
+                per_class[test_corpus.class_names[int(c)]].append(float(v))
+            for name in sorted(per_class):
+                vals = per_class[name]
+                std = statistics.stdev(vals) if len(vals) > 1 else 0.0
+                logger.log(
+                    f"Class: {name} -- Rec CD: {statistics.mean(vals)} ({std})"
+                )
+            all_std = statistics.stdev(cd.tolist()) if len(cd) > 1 else 0.0
+            logger.log(
+                f"Avg testing results across all classes Epoch -- {epoch} "
+                f"are: Query_rec: {float(cd.mean())} ({all_std})"
+            )
+
+        # SAVE (trainNetwork.py:192-197)
+        if epoch % conf.save_interval == 0 or epoch == conf.epoch:
+            save_checkpoint(
+                os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state
+            )
+            logger.flush()
+
+        # VISUALIZE (trainNetwork.py:200-207)
+        if epoch % conf.sample_interval == 0:
+            key, sub = jax.random.split(key)
+            _draw_sample(
+                model, state, train_corpus, conf, sub,
+                logger.images_dir, f"sample_img_{epoch}",
+            )
+
+    logger.flush()
+    return state
+
+
+def _draw_sample(model, state, corpus, conf, key, out_dir, tag):
+    k1, k2 = jax.random.split(key)
+    batch = sample_episode_batch(
+        k1, corpus, conf.n_shot, conf.effective_n_query, 1
+    )
+    sample = jax.tree.map(lambda x: x[0], batch)
+    out = model.apply(
+        state.variables, sample, method=model.reconstruct,
+        rngs={"template": k2},
+    )
+    draw_reconstruction(
+        np.asarray(out["syn_pc"]), np.asarray(sample["pcq"]), out_dir, tag,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation driver (evaluate_Network.py:65-125)
+# ---------------------------------------------------------------------------
+
+def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
+    n_query = conf.effective_n_query
+    checkpoint_path = os.path.join(conf.model_path, conf.name)
+
+    test_corpus = DeviceCorpus.build(build_corpus(conf, conf.test_path))
+    img_size = int(test_corpus.images.shape[2])
+
+    model = build_model(conf)
+    tx = make_optimizer(lr=conf.lr)
+    state = make_state(model, conf, tx, img_size)
+    if conf.eval_model != "NONE":
+        model_file = os.path.join(checkpoint_path, conf.eval_model)
+        state = restore_checkpoint(model_file, state)
+
+    key = jax.random.PRNGKey(conf.seed)
+    per_class_cd = defaultdict(list)
+    per_class_emd = defaultdict(list)
+
+    if conf.sequential_eval:
+        seq_step = jax.jit(
+            lambda st, corpus, cls, item, k: model.apply(
+                st.variables,
+                sequential_episode(corpus, cls, item, k, conf.n_shot),
+                method=model.reconstruct,
+                rngs={"template": k},
+            )
+        )
+        counts = np.asarray(test_corpus.counts)
+        for cls in range(len(counts)):
+            if not counts[cls]:
+                continue
+            for item in range(int(counts[cls])):
+                key, sub = jax.random.split(key)
+                out = seq_step(state, test_corpus, cls, item, sub)
+                name = test_corpus.class_names[cls]
+                per_class_cd[name].append(float(out["cd_loss"]) / n_query)
+                per_class_emd[name].append(float(out["emd_loss"]) / n_query)
+    else:
+        eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=True)
+        key, sub = jax.random.split(key)
+        out = eval_step(state, test_corpus, sub, conf.eval_episodes)
+        cls = np.asarray(out["cls"])
+        for c, cd_v, emd_v in zip(
+            cls, np.asarray(out["cd_loss"]), np.asarray(out["emd_loss"])
+        ):
+            name = test_corpus.class_names[int(c)]
+            per_class_cd[name].append(float(cd_v) / n_query)
+            per_class_emd[name].append(float(emd_v) / n_query)
+
+    results = {}
+    for name in sorted(per_class_cd):
+        results[name] = {
+            "cd": statistics.mean(per_class_cd[name]),
+            "emd": statistics.mean(per_class_emd[name]),
+        }
+        print(
+            f"Class: {name} -- Rec CD: {results[name]['cd']} "
+            f"EMD: {results[name]['emd']}"
+        )
+    return results

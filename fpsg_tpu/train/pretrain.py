@@ -1,0 +1,203 @@
+"""Point-cloud-encoder pretraining by supervised classification
+(``src/trainPointAE.py`` — despite its name it is NOT an autoencoder:
+PointNet/DGCNN features → AuxClassifier → NLL loss, SURVEY.md §2.1).
+
+Reference bugs fixed (behavior flagged, SURVEY.md §5.1 item 6):
+- ``epoch & save_interval == 0`` (bitwise-and precedence) saved only at the
+  final epoch → proper modulo here;
+- ``--core`` was ignored ('pointnet' hardcoded) → honored here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fpsg_tpu.io.checkpoints import save_checkpoint
+from fpsg_tpu.models.protonet import PCEncoder
+from fpsg_tpu.models.support import AuxClassifier
+from fpsg_tpu.train.optim import make_optimizer
+from fpsg_tpu.train.state import TrainState
+from fpsg_tpu.utils.logging import RunLogger
+
+
+@dataclasses.dataclass
+class PretrainConfig:
+    """Flag surface of trainPointAE.py (:131-153)."""
+
+    root: str = ""
+    proot: str = ""
+    dataset: str = "modelnet"
+    core: str = "pointnet"
+    lr: float = 1e-3
+    lr_decay: int = 50
+    epoch: int = 150            # reference loop hardcodes range(1, 151)
+    batch_size: int = 32
+    val_interval: int = 10
+    save_interval: int = 20
+    name: str = "pretrain"
+    model_path: str = "../checkpoint"
+    seed: int = 0
+    n_pts: int = 2048
+
+
+class PCClassifier(nn.Module):
+    """PCEncoder backbone + AuxClassifier head (trainPointAE.py:60-63)."""
+
+    core: str = "pointnet"
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, pcs: jax.Array, train: bool) -> jax.Array:
+        feat = PCEncoder(core=self.core, name="encoder")(pcs, train)
+        return AuxClassifier(self.num_classes, name="classifier")(feat, train)
+
+
+def nll_loss(log_probs: jax.Array, labels: jax.Array) -> jax.Array:
+    """torch NLLLoss on log-softmax outputs (mean over batch)."""
+    return -jnp.mean(
+        jnp.take_along_axis(log_probs, labels[:, None], axis=1)
+    )
+
+
+def make_pretrain_step(model: PCClassifier, tx):
+    def step(state: TrainState, pcs, labels, key):
+        def loss_fn(p):
+            logp, mut = model.apply(
+                {"params": p, "batch_stats": state.batch_stats},
+                pcs, True, mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            return nll_loss(logp, labels), (logp, mut["batch_stats"])
+
+        (loss, (logp, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean(jnp.argmax(logp, axis=1) == labels)
+        return (
+            TrainState(params=params, batch_stats=new_stats,
+                       opt_state=opt_state, step=state.step + 1),
+            {"loss": loss, "acc": acc},
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_pretrain_eval(model: PCClassifier):
+    def eval_fn(state: TrainState, pcs, labels):
+        logp = model.apply(state.variables, pcs, False)
+        return {
+            "loss": nll_loss(logp, labels),
+            "acc": jnp.mean(jnp.argmax(logp, axis=1) == labels),
+        }
+
+    return jax.jit(eval_fn)
+
+
+def _load_data(conf: PretrainConfig, split: str):
+    if conf.dataset == "modelnet":
+        from fpsg_tpu.data.pretrain import load_multiview_classification
+
+        return load_multiview_classification(
+            conf.root, conf.proot, split, n_pts=conf.n_pts, seed=conf.seed,
+        )
+    if conf.dataset == "shapenet":
+        from fpsg_tpu.data.pretrain import load_shapenet55_classification
+
+        return load_shapenet55_classification(
+            conf.root, split, n_pts=conf.n_pts, seed=conf.seed,
+        )
+    if conf.dataset == "synthetic":
+        from fpsg_tpu.data.pretrain import synthetic_classification
+
+        return synthetic_classification(n_pts=conf.n_pts, seed=conf.seed)
+    raise ValueError(conf.dataset)
+
+
+def pretrain_pc_encoder(conf: PretrainConfig) -> Tuple[TrainState, str]:
+    """Full pretraining driver (trainPointAE.py:38-129). Returns the final
+    state and the saved encoder checkpoint path
+    (``<model_path>/<name>/<name>_<core>``)."""
+    checkpoint_path = os.path.join(conf.model_path, conf.name)
+    logger = RunLogger(checkpoint_path)
+
+    clouds, labels, class_names = _load_data(conf, "train")
+    clouds_t, labels_t, _ = _load_data(conf, "test")
+    logger.log(f"Avaiable Classes are: "
+               f"{ {c: i for i, c in enumerate(class_names)} }")
+
+    num_cat = len(class_names)
+    model = PCClassifier(core=conf.core, num_classes=num_cat)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(conf.seed),
+         "dropout": jax.random.PRNGKey(conf.seed + 1)},
+        jnp.zeros((2, conf.n_pts, 3)), True,
+    )
+    tx = make_optimizer(
+        lr=conf.lr, lr_decay_epochs=conf.lr_decay,
+        steps_per_epoch=max(len(clouds) // conf.batch_size, 1),
+    )
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    step = make_pretrain_step(model, tx)
+    eval_fn = make_pretrain_eval(model)
+
+    d_clouds = jnp.asarray(clouds)
+    d_labels = jnp.asarray(labels)
+    d_clouds_t = jnp.asarray(clouds_t)
+    d_labels_t = jnp.asarray(labels_t)
+    rng = np.random.default_rng(conf.seed)
+    key = jax.random.PRNGKey(conf.seed)
+    b = conf.batch_size
+    out_path = os.path.join(checkpoint_path, f"{conf.name}_{conf.core}")
+
+    for epoch in range(1, conf.epoch + 1):
+        perm = rng.permutation(len(clouds))
+        n_batches = len(clouds) // b  # drop_last=True (trainPointAE.py:55)
+        run_loss, run_acc = 0.0, 0.0
+        for i in range(n_batches):
+            idx = jnp.asarray(perm[i * b: (i + 1) * b])
+            key, sub = jax.random.split(key)
+            state, m = step(
+                state, d_clouds[idx], d_labels[idx], sub
+            )
+            run_loss += float(m["loss"]) * b
+            run_acc += float(m["acc"]) * b
+        logger.log(
+            f"Running CrossEntropy is {run_loss / len(clouds)}, "
+            f"Running Acc is {run_acc / len(clouds)} at Epoch {epoch}"
+        )
+
+        if epoch % conf.val_interval == 0:
+            m = eval_fn(state, d_clouds_t, d_labels_t)
+            logger.log(
+                f"Test CrossEntropy is {float(m['loss'])}, "
+                f"Test Accuracy is {float(m['acc'])} at Epoch {epoch}"
+            )
+
+        if epoch % conf.save_interval == 0 or epoch == conf.epoch:
+            # Save the ENCODER subtree (what trainNetwork ingests).
+            enc = {
+                "params": {"pc_encoder_wrap": state.params["encoder"]},
+                "batch_stats": {
+                    "pc_encoder_wrap": state.batch_stats["encoder"]
+                },
+            }
+            save_checkpoint(out_path, enc)
+            logger.flush()
+
+    logger.flush()
+    return state, out_path

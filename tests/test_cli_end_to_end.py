@@ -1,0 +1,133 @@
+"""Integration: full CLI pipeline on the materialized synthetic dataset.
+
+materialize fake ModelNet tree → generate_dataset manifests → trainNetwork
+(2 epochs, tiny image encoder) → checkpoint/log artifacts → resume →
+evaluate_Network per-class CD/EMD.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fpsg_tpu.data import generate_modelnet_manifests, materialize_fake_modelnet
+
+
+@pytest.fixture(scope="module")
+def fake_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake_modelnet")
+    img_root, pc_root = materialize_fake_modelnet(
+        str(root), classes=["cube", "sphere", "cylinder"],
+        items_per_class=6, n_pts=128, img_size=600,
+    )
+    out = str(root / "manifests") + "/"
+    generate_modelnet_manifests(
+        img_root, pc_root, out,
+        train_classes=["cube", "sphere"], test_classes=["cylinder"],
+    )
+    return out
+
+
+def _train_args(out, ckpt_dir, epochs=2):
+    return [
+        "--config_path", out + "modelnet_train.txt",
+        "--test_path", out + "modelnet_test.txt",
+        "--refer_path", out + "modelnet_files/",
+        "--pc_encoder_path", "NONE",
+        "--img_encoder", "tiny",
+        "--n_shot", "3", "--n_query", "1",
+        "--num_pts", "128",
+        "--n_episode", "4",
+        "--epoch", str(epochs),
+        "--eval_interval", "2",
+        "--save_interval", "2",
+        "--sample_interval", "2",
+        "--eval_episodes", "4",
+        "--name", "cli_test",
+        "--model_path", ckpt_dir,
+    ]
+
+
+def test_train_cli_end_to_end(fake_dataset, tmp_path):
+    from fpsg_tpu.cli.trainNetwork import main as train_main
+
+    ckpt_dir = str(tmp_path / "ckpt")
+    train_main(_train_args(fake_dataset, ckpt_dir))
+
+    run_dir = os.path.join(ckpt_dir, "cli_test")
+    assert os.path.isdir(run_dir)
+    # checkpoint with reference naming
+    ckpts = [f for f in os.listdir(run_dir) if f.startswith("model_epoch_2")]
+    assert ckpts, os.listdir(run_dir)
+    # buffered log file flushed
+    logs = [f for f in os.listdir(run_dir) if f.startswith("log_")]
+    assert logs
+    log_text = open(os.path.join(run_dir, logs[0])).read()
+    assert "Training Results for Epoch -- 1" in log_text
+    assert "Class: cylinder" in log_text  # per-class eval on novel class
+    # qualitative sample artifacts
+    imgs = os.listdir(os.path.join(run_dir, "images"))
+    assert any(f.endswith(".png") for f in imgs)
+    assert any(f.endswith(".npy") for f in imgs)
+
+    # resume from the saved checkpoint, one extra epoch
+    from fpsg_tpu.cli.trainNetwork import main as train_main2
+
+    train_main2(
+        _train_args(fake_dataset, ckpt_dir, epochs=3) + ["--resume", "2"]
+    )
+    assert any(
+        f.startswith("model_epoch_3") for f in os.listdir(run_dir)
+    )
+
+    # evaluation CLI on the trained model
+    from fpsg_tpu.cli.evaluate_Network import main as eval_main
+
+    eval_main(
+        _train_args(fake_dataset, ckpt_dir)
+        + ["--eval_model", "model_epoch_2", "--sequential_eval"]
+    )
+
+
+def test_pretrain_cli(tmp_path):
+    from fpsg_tpu.cli.trainPointAE import main as pretrain_main
+
+    ckpt_dir = str(tmp_path / "pre")
+    pretrain_main([
+        "--root", "unused", "--dataset", "synthetic",
+        "--epoch", "2", "--batch_size", "8",
+        "--val_interval", "1", "--save_interval", "2",
+        "--name", "pre_test", "--model_path", ckpt_dir,
+    ])
+    run_dir = os.path.join(ckpt_dir, "pre_test")
+    saved = [f for f in os.listdir(run_dir)
+             if f.startswith("pre_test_pointnet")]
+    assert saved, os.listdir(run_dir)
+
+
+def test_pretrained_encoder_flows_into_trainer(fake_dataset, tmp_path):
+    """The pretrainer's native checkpoint loads into trainNetwork."""
+    from fpsg_tpu.train.pretrain import PretrainConfig, pretrain_pc_encoder
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.train.loop import build_model, make_state
+    from fpsg_tpu.train.optim import make_optimizer
+
+    conf = PretrainConfig(
+        dataset="synthetic", epoch=1, batch_size=8, n_pts=128,
+        name="pre_flow", model_path=str(tmp_path),
+    )
+    state, enc_path = pretrain_pc_encoder(conf)
+
+    tconf = FPSGConfig(
+        img_encoder="tiny", pc_encoder_path=enc_path, num_pts=128,
+        n_shot=3, n_query=1,
+    )
+    model = build_model(tconf)
+    tstate = make_state(model, tconf, make_optimizer(), img_size=16)
+    # encoder weights must equal the pretrained ones
+    import jax
+
+    pre = state.params["encoder"]
+    post = tstate.params["pc_encoder_wrap"]
+    for a, b in zip(jax.tree.leaves(pre), jax.tree.leaves(post)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
