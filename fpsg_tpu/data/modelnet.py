@@ -35,6 +35,7 @@ def load_modelnet_corpus(
     data_augment: bool = False,
     seed: Optional[int] = 0,
     config_path: Optional[str] = None,
+    use_native: bool = True,
 ) -> ClassCorpus:
     """Build the per-class corpus from ``modelnet+<class>.txt`` files.
 
@@ -67,6 +68,7 @@ def load_modelnet_corpus(
         if classes is not None and cls not in classes:
             continue
         cls_imgs, cls_pcs = [], []
+        pc_paths = []
         cls_eligible = allowed is None
         with open(os.path.join(auxiliary_dir, fname)) as f:
             for line in f:
@@ -77,14 +79,32 @@ def load_modelnet_corpus(
                 if allowed is not None and img_path in allowed:
                     cls_eligible = True
                 cls_imgs.append(image_transform(img_path))
-                pc = pad_and_normalize_cloud(
-                    read_ply(pc_path, n_pts), n_pts, rng
-                )
-                if data_augment:
-                    pc = augment_cloud(pc, rng)
-                cls_pcs.append(pc)
+                pc_paths.append(pc_path)
         if not cls_imgs:
             continue
+
+        # Point clouds: native threaded batch loader when built (4x+ the
+        # Python path — the reference's preload takes minutes), else the
+        # pure-Python readers.
+        native_ok = False
+        if use_native:
+            from fpsg_tpu.io import native
+
+            if native.available():
+                stacked, status = native.load_ply_batch(
+                    pc_paths, n_pts, normalize=True,
+                    seed=0 if seed is None else seed,
+                )
+                if (status > 0).all():
+                    cls_pcs = list(stacked)
+                    native_ok = True
+        if not native_ok:
+            cls_pcs = [
+                pad_and_normalize_cloud(read_ply(p, n_pts), n_pts, rng)
+                for p in pc_paths
+            ]
+        if data_augment:
+            cls_pcs = [augment_cloud(pc, rng) for pc in cls_pcs]
         names.append(cls)
         images.append(np.stack(cls_imgs))
         clouds.append(np.stack(cls_pcs).astype(np.float32))
