@@ -43,7 +43,8 @@ def _enable_compile_cache():
         pass  # older jax without these flags
 
 
-def measure_ours(n_episodes: int, steps: int, warmup: int) -> float:
+def measure_ours(n_episodes: int, steps: int, warmup: int,
+                 compute_dtype: str = "bf16") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int) -> float:
         img_backbone="vgg_16",
         pc_backbone="pointnet",
         intra_support=True,
+        dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
     )
     corpus = DeviceCorpus.build(
         synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
@@ -111,6 +113,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch-CPU reference baseline")
+    ap.add_argument("--compute-dtype", type=str, default="bf16",
+                    choices=["f32", "bf16"],
+                    help="mixed-precision compute dtype (params/BN stats/"
+                         "losses stay f32 either way)")
     args = ap.parse_args()
 
     baseline = TORCH_CPU_BASELINE_EPS
@@ -120,7 +126,8 @@ def main():
         baseline = measure_baseline(steps=3)
         print(f"# measured torch-CPU baseline: {baseline:.4f} episodes/s")
 
-    eps = measure_ours(args.episodes_per_step, args.steps, args.warmup)
+    eps = measure_ours(args.episodes_per_step, args.steps, args.warmup,
+                       args.compute_dtype)
     print(json.dumps({
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),

@@ -78,6 +78,12 @@ class FPSGConfig:
     eval_episodes: int = 100     # random-sampler eval episodes
     npy_folder: str = "./"       # evaluate_Network output dir
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
+    compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
+                                 # BN stats, and losses stay f32)
+    finetune_layer: int = -1     # >=0: freeze all but the last N image-branch
+                                 # convs (the reference's INTENDED behavior;
+                                 # its _set_finetune is never called, so the
+                                 # faithful default trains everything)
 
     @property
     def effective_n_query(self) -> int:
@@ -140,6 +146,9 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--eval_episodes", type=int, default=d.eval_episodes)
     p("--npy_folder", type=str, default=d.npy_folder)
     p("--num_pts", type=int, default=d.num_pts)
+    p("--compute_dtype", type=str, default=d.compute_dtype,
+      choices=["f32", "bf16"])
+    p("--finetune_layer", type=int, default=d.finetune_layer)
 
 
 def config_from_args(args: argparse.Namespace) -> FPSGConfig:

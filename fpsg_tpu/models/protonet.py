@@ -51,17 +51,17 @@ class PCEncoder(nn.Module):
 
     core: str = "pointnet"
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.core == "pointnet":
             return PointNetEncoder(
-                axis_name=self.axis_name, name="pc_encoder"
+                axis_name=self.axis_name, dtype=self.dtype, name="pc_encoder"
             )(x, train)
         if self.core == "dgcnn":
-            return DGCNNFeat(axis_name=self.axis_name, name="pc_encoder")(
-                x, train
-            )
+            return DGCNNFeat(axis_name=self.axis_name, dtype=self.dtype,
+                             name="pc_encoder")(x, train)
         raise NotImplementedError(
             f"Unsupported Point Cloud Encoder Core: {self.core}"
         )
@@ -86,6 +86,7 @@ class ImgPCProtoNet(nn.Module):
     intra_support: bool = False
     aggregate: str = "single"
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     def setup(self):
         if self.aggregate not in _AGGREGATORS:
@@ -106,11 +107,11 @@ class ImgPCProtoNet(nn.Module):
             )
         self.img_encoder = ImageEncoder(
             backbone=self.img_backbone, axis_name=self.axis_name,
-            name="img_encoder",
+            dtype=self.dtype, name="img_encoder",
         )
         self.pc_encoder = PCEncoder(
             core=self.pc_backbone, axis_name=self.axis_name,
-            name="pc_encoder_wrap",
+            dtype=self.dtype, name="pc_encoder_wrap",
         )
         self.pc_decoder = PrimitiveDecoder(
             num_clusters=self.num_clusters,
@@ -122,6 +123,7 @@ class ImgPCProtoNet(nn.Module):
             template_type=self.template_type,
             activation=self.activation,
             axis_name=self.axis_name,
+            dtype=self.dtype,
             name="pc_decoder",
         )
 

@@ -48,6 +48,7 @@ class _StackedDense(nn.Module):
     d_in: int
     d_out: int
     use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -60,6 +61,9 @@ class _StackedDense(nn.Module):
         kernel = self.param(
             "kernel", kinit, (*self.groups, self.d_in, self.d_out)
         )
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
         if len(self.groups) == 1:
             y = jnp.einsum("bcpd,cde->bcpe", x, kernel)
         elif len(self.groups) == 2:
@@ -68,7 +72,7 @@ class _StackedDense(nn.Module):
             raise ValueError("1 or 2 group axes supported")
         if self.use_bias:
             bias = self.param("bias", kinit, (*self.groups, self.d_out))
-            y = y + bias[None, ..., None, :]
+            y = y + bias[None, ..., None, :].astype(dt)
         return y
 
 
@@ -89,6 +93,7 @@ class PrimitiveDecoder(nn.Module):
     activation: str = "relu"
     deformer_width: int = 128  # MLPDeformer layer_size (point_cloud_net.py:40)
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -124,24 +129,33 @@ class PrimitiveDecoder(nn.Module):
                 feature_axes=(1, -1),
                 group_axes=(2,),
                 axis_name=self.axis_name,
+                dtype=self.dtype,
                 name=name,
             )
 
-        d = _StackedDense((c,), self.ori_dim, w, name="deformer_conv1")(
+        if self.dtype is not None:
+            raw = raw.astype(self.dtype)
+        d = _StackedDense((c,), self.ori_dim, w, dtype=self.dtype,
+                          name="deformer_conv1")(
             raw.reshape(b, c, nn_ * ppn, self.ori_dim)
         ).reshape(b, c, nn_, ppn, w)
         d = act(dbn("deformer_bn1")(d, not train))
-        d = _StackedDense((c,), w, w, name="deformer_conv2")(
+        d = _StackedDense((c,), w, w, dtype=self.dtype,
+                          name="deformer_conv2")(
             d.reshape(b, c, nn_ * ppn, w)
         ).reshape(b, c, nn_, ppn, w)
         d = act(dbn("deformer_bn2")(d, not train))
         d = jnp.tanh(
-            _StackedDense((c,), w, self.raw_dim, name="deformer_conv3")(
+            _StackedDense((c,), w, self.raw_dim, dtype=self.dtype,
+                          name="deformer_conv3")(
                 d.reshape(b, c, nn_ * ppn, w)
             ).reshape(b, c, nn_, ppn, self.raw_dim)
         )
 
         # --- Conditioning: [h ‖ deformed] per point (:105-107) ------------
+        if self.dtype is not None:
+            h = h.astype(self.dtype)
+            d = d.astype(self.dtype)
         cond = jnp.broadcast_to(
             h[:, None, None, None, :], (b, c, nn_, ppn, h.shape[-1])
         )
@@ -152,18 +166,21 @@ class PrimitiveDecoder(nn.Module):
             return BatchNorm(
                 feature_axes=(1, 2, -1),
                 axis_name=self.axis_name,
+                dtype=self.dtype,
                 name=name,
             )
 
         dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
         for i in range(3):
             x = _StackedDense(
-                (c, nn_), dims[i], dims[i + 1], name=f"node_conv{i + 1}"
+                (c, nn_), dims[i], dims[i + 1], dtype=self.dtype,
+                name=f"node_conv{i + 1}",
             )(x)
             x = act(nbn(f"node_bn{i + 1}")(x, not train))
         x = jnp.tanh(
-            _StackedDense((c, nn_), dims[3], dims[4], name="node_conv4")(x)
-        )
+            _StackedDense((c, nn_), dims[3], dims[4], dtype=self.dtype,
+                          name="node_conv4")(x)
+        ).astype(jnp.float32)
 
         # cluster-major, node-mid, point-minor ordering (:107-110,131-132);
         # total = C*Nn*ppn (integer division like the reference, :89-95).

@@ -43,6 +43,7 @@ class _EdgeConv(nn.Module):
     features: int
     k: int
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -52,9 +53,11 @@ class _EdgeConv(nn.Module):
             self.features,
             use_bias=False,
             kernel_init=torch_linear_kernel_init,
+            dtype=self.dtype,
             name="conv",
         )(h)
-        h = BatchNorm(axis_name=self.axis_name, name="bn")(h, not train)
+        h = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                      name="bn")(h, not train)
         h = jax.nn.leaky_relu(h, 0.2)
         return jnp.max(h, axis=2)                              # max over k
 
@@ -70,23 +73,27 @@ class DGCNNFeat(nn.Module):
     k: int = 20
     dual_pool: bool = True
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         emb = self.embedding_dim // 2 if self.dual_pool else self.embedding_dim
-        x1 = _EdgeConv(64, self.k, self.axis_name, name="conv1")(x, train)
-        x2 = _EdgeConv(64, self.k, self.axis_name, name="conv2")(x1, train)
-        x3 = _EdgeConv(128, self.k, self.axis_name, name="conv3")(x2, train)
-        x4 = _EdgeConv(256, self.k, self.axis_name, name="conv4")(x3, train)
+        dt = self.dtype
+        x1 = _EdgeConv(64, self.k, self.axis_name, dt, name="conv1")(x, train)
+        x2 = _EdgeConv(64, self.k, self.axis_name, dt, name="conv2")(x1, train)
+        x3 = _EdgeConv(128, self.k, self.axis_name, dt, name="conv3")(x2, train)
+        x4 = _EdgeConv(256, self.k, self.axis_name, dt, name="conv4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)         # (B, N, 512)
         h = nn.Dense(
             emb,
             use_bias=False,
             kernel_init=torch_linear_kernel_init,
+            dtype=dt,
             name="conv5",
         )(h)
-        h = BatchNorm(axis_name=self.axis_name, name="bn5")(h, not train)
-        h = jax.nn.leaky_relu(h, 0.2)
+        h = BatchNorm(axis_name=self.axis_name, dtype=dt,
+                      name="bn5")(h, not train)
+        h = jax.nn.leaky_relu(h, 0.2).astype(jnp.float32)
         mx = jnp.max(h, axis=1)
         if not self.dual_pool:
             return mx

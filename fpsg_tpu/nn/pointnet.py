@@ -28,11 +28,12 @@ from fpsg_tpu.nn._init import torch_linear_kernel_init, make_torch_bias_init
 from fpsg_tpu.nn.normalization import BatchNorm
 
 
-def _dense(features: int, fan_in: int, name: str) -> nn.Dense:
+def _dense(features: int, fan_in: int, name: str, dtype=None) -> nn.Dense:
     return nn.Dense(
         features,
         kernel_init=torch_linear_kernel_init,
         bias_init=make_torch_bias_init(fan_in),
+        dtype=dtype,
         name=name,
     )
 
@@ -41,18 +42,22 @@ class STN3d(nn.Module):
     """Spatial transformer predicting a 3x3 alignment (model.py:11-45)."""
 
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         # x: (B, N, 3)
-        bn = lambda name: BatchNorm(axis_name=self.axis_name, name=name)
-        h = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1")(x), not train))
-        h = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2")(h), not train))
-        h = jax.nn.relu(bn("bn3")(_dense(1024, 128, "conv3")(h), not train))
+        dt = self.dtype
+        bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                    name=name)
+        h = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1", dt)(x), not train))
+        h = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2", dt)(h), not train))
+        h = jax.nn.relu(bn("bn3")(_dense(1024, 128, "conv3", dt)(h),
+                                  not train))
         h = jnp.max(h, axis=1)                                  # (B, 1024)
-        h = jax.nn.relu(bn("bn4")(_dense(512, 1024, "fc1")(h), not train))
-        h = jax.nn.relu(bn("bn5")(_dense(256, 512, "fc2")(h), not train))
-        h = _dense(9, 256, "fc3")(h)
+        h = jax.nn.relu(bn("bn4")(_dense(512, 1024, "fc1", dt)(h), not train))
+        h = jax.nn.relu(bn("bn5")(_dense(256, 512, "fc2", dt)(h), not train))
+        h = _dense(9, 256, "fc3", dt)(h).astype(jnp.float32)
         iden = jnp.eye(3, dtype=h.dtype).reshape(9)
         return (h + iden).reshape(-1, 3, 3)
 
@@ -87,28 +92,33 @@ class PointNetFeat(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
         # x: (B, N, 3)
         n_pts = x.shape[1]
-        bn = lambda name: BatchNorm(axis_name=self.axis_name, name=name)
-        trans = STN3d(axis_name=self.axis_name, name="stn")(x, train)
-        x = jnp.einsum("bnd,bde->bne", x, trans)
-        x = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1")(x), not train))
+        dt = self.dtype
+        bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                    name=name)
+        trans = STN3d(axis_name=self.axis_name, dtype=dt, name="stn")(x, train)
+        x = jnp.einsum("bnd,bde->bne", x.astype(jnp.float32), trans)
+        x = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1", dt)(x), not train))
 
         if self.feature_transform:
             trans_feat = STNkd(k=64, axis_name=self.axis_name, name="fstn")(
-                x, train
+                x.astype(jnp.float32), train
             )
-            x = jnp.einsum("bnd,bde->bne", x, trans_feat)
+            x = jnp.einsum(
+                "bnd,bde->bne", x.astype(jnp.float32), trans_feat
+            ).astype(dt or x.dtype)
         else:
             trans_feat = None
 
         point_feat = x
-        x = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2")(x), not train))
-        x = bn("bn3")(_dense(1024, 128, "conv3")(x), not train)
-        x = jnp.max(x, axis=1)                                  # (B, 1024)
+        x = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2", dt)(x), not train))
+        x = bn("bn3")(_dense(1024, 128, "conv3", dt)(x), not train)
+        x = jnp.max(x, axis=1).astype(jnp.float32)             # (B, 1024)
         if self.global_feat:
             return x, trans, trans_feat
         tiled = jnp.broadcast_to(
@@ -125,10 +135,12 @@ class PointNetEncoder(nn.Module):
     """
 
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         feat, _, _ = PointNetFeat(
-            axis_name=self.axis_name, name="pointnet_feat_extractor"
+            axis_name=self.axis_name, dtype=self.dtype,
+            name="pointnet_feat_extractor",
         )(x, train)
         return feat

@@ -51,9 +51,12 @@ class VGG16BN(nn.Module):
     """
 
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         idx = 0
         for v in VGG16_CFG:
             if v == "M":
@@ -65,6 +68,7 @@ class VGG16BN(nn.Module):
                 int(v),
                 (3, 3),
                 padding=1,
+                dtype=self.dtype,
                 kernel_init=_conv_init,
                 bias_init=lambda key, shape, dtype=jnp.float32, _f=fan_in: (
                     jax.random.uniform(
@@ -74,13 +78,12 @@ class VGG16BN(nn.Module):
                 ),
                 name=f"features_{idx}",
             )(x)
-            x = BatchNorm(axis_name=self.axis_name, name=f"features_{idx + 1}")(
-                x, not train
-            )
+            x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                          name=f"features_{idx + 1}")(x, not train)
             x = jax.nn.relu(x)
             idx += 3  # conv, bn, relu
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
-        return jnp.mean(x, axis=(1, 2))
+        return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
 
 class TinyImageEncoder(nn.Module):
@@ -106,11 +109,13 @@ class ImageEncoder(nn.Module):
 
     backbone: str = "vgg_16"
     axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.backbone == "vgg_16":
-            return VGG16BN(axis_name=self.axis_name, name="encoder")(x, train)
+            return VGG16BN(axis_name=self.axis_name, dtype=self.dtype,
+                           name="encoder")(x, train)
         if self.backbone == "tiny":
             return TinyImageEncoder(axis_name=self.axis_name, name="encoder")(
                 x, train

@@ -40,7 +40,9 @@ from fpsg_tpu.utils.visualization import draw_reconstruction
 # ---------------------------------------------------------------------------
 
 def build_model(conf: FPSGConfig, axis_name: Optional[str] = None):
+    dtype = jnp.bfloat16 if conf.compute_dtype == "bf16" else None
     return ImgPCProtoNet(
+        dtype=dtype,
         img_backbone=conf.img_encoder,
         pc_backbone=conf.pc_encoder,
         num_clusters=conf.num_clusters,
@@ -130,7 +132,14 @@ def build_corpus(conf: FPSGConfig, config_path: str) -> ClassCorpus:
     raise ValueError(f"unknown dataset: {conf.dataset}")
 
 
-def make_state(model, conf: FPSGConfig, tx, img_size=224) -> TrainState:
+def make_state(model, conf: FPSGConfig, tx=None, img_size=224):
+    """Init variables (+ pretrained grafts) and optimizer state.
+
+    With ``tx=None``, builds the optimizer here — including the
+    ``finetune_layer`` freeze mask, which needs the param tree — and
+    returns ``(state, tx)``; with an explicit ``tx``, returns the state
+    only (legacy callers/tests).
+    """
     s, q, n = conf.n_shot, conf.effective_n_query, conf.num_points
     sample = {
         "xs": jnp.zeros((s, img_size, img_size, 3)),
@@ -142,12 +151,30 @@ def make_state(model, conf: FPSGConfig, tx, img_size=224) -> TrainState:
     }
     variables = init_model(model, sample, seed=conf.seed)
     variables = load_pretrained_weights(variables, conf)
-    return TrainState(
+
+    return_tx = tx is None
+    if tx is None:
+        frozen_mask = None
+        if conf.finetune_layer >= 0 and conf.img_encoder == "vgg_16":
+            from fpsg_tpu.train.optim import vgg_finetune_mask
+
+            frozen_mask = vgg_finetune_mask(
+                variables["params"], conf.finetune_layer
+            )
+        tx = make_optimizer(
+            lr=conf.lr, sgd=conf.SGD, lr_decay_epochs=conf.lr_decay,
+            steps_per_epoch=max(
+                conf.n_episode // conf.episodes_per_step, 1
+            ),
+            frozen_mask=frozen_mask,
+        )
+    state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
+    return (state, tx) if return_tx else state
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +191,7 @@ def train_network(conf: FPSGConfig) -> TrainState:
     img_size = int(train_corpus.images.shape[2])
 
     model = build_model(conf)
-    tx = make_optimizer(
-        lr=conf.lr, sgd=conf.SGD, lr_decay_epochs=conf.lr_decay,
-        steps_per_epoch=max(conf.n_episode // conf.episodes_per_step, 1),
-    )
-    state = make_state(model, conf, tx, img_size)
+    state, tx = make_state(model, conf, img_size=img_size)
 
     start_epoch = 1
     if conf.resume > 0:
