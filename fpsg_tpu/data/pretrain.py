@@ -38,18 +38,23 @@ def load_multiview_classification(
     n_pts: int = 2048,
     data_augment: bool = False,
     seed: Optional[int] = 0,
+    extra_label: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """ModelNet tree → (clouds (N, n_pts, 3), labels (N,), class names).
 
     Layout: ``root/<label>/<split>/<item>/<view>.png`` +
     ``ply_root/<label>/<split>/<item>.ply`` (mv_dataset.py:86-103); classes
-    sorted then indexed (find_classes, :56-63).
+    sorted then indexed (find_classes, :56-63). ``extra_label`` restricts
+    loading to one class while keeping the full label space — the V2
+    single-class filter (mv_dataset_v2.py:90).
     """
     rng = np.random.default_rng(seed)
     categories = sorted(categories or PRETRAIN_MODELNET_CATS)
     class_to_idx = {c: i for i, c in enumerate(categories)}
     clouds, labels = [], []
     for label in categories:
+        if extra_label is not None and label != extra_label:
+            continue
         c_path = os.path.join(root, label, split)
         ply_path = os.path.join(ply_root, label, split)
         if not os.path.isdir(c_path):
@@ -77,16 +82,22 @@ def load_shapenet55_classification(
     n_pts: int = 2048,
     data_augment: bool = False,
     seed: Optional[int] = 0,
+    extra_label: Optional[str] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[str]]:
     """ShapeNet55 manifests → (clouds, labels, class names)
     (ShapeNet55, mv_dataset.py:145-231): per-synset ``{id}_{split}.txt``
-    item lists, 15000→n_pts subsample at load, unit-ball normalize."""
+    item lists, 15000→n_pts subsample at load, unit-ball normalize.
+    ``extra_label`` is the V2 single-class filter (mv_dataset_v2.py:171-173).
+    """
     rng = np.random.default_rng(seed)
     categories = list(categories or PRETRAIN_SHAPENET_CATS)
     names = sorted(SHAPENET_ID2NAME.get(c, c) for c in categories)
     class_to_idx = {n: i for i, n in enumerate(names)}
     clouds, labels = [], []
     for synset in categories:
+        if extra_label is not None and synset != extra_label and \
+                SHAPENET_ID2NAME.get(synset, synset) != extra_label:
+            continue
         conf_file = os.path.join(root, f"{synset}_{split}.txt")
         if not os.path.exists(conf_file):
             continue
