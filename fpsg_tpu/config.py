@@ -80,6 +80,9 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
+    dump_reconstructions: bool = False  # eval: write PNG+npy per episode
+                                 # (the reference evaluator's OPTION 2 path,
+                                 # evaluate_Network.py:111)
     finetune_layer: int = -1     # >=0: freeze all but the last N image-branch
                                  # convs (the reference's INTENDED behavior;
                                  # its _set_finetune is never called, so the
@@ -149,6 +152,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--compute_dtype", type=str, default=d.compute_dtype,
       choices=["f32", "bf16"])
     p("--finetune_layer", type=int, default=d.finetune_layer)
+    p("--dump_reconstructions", action="store_true")
 
 
 def config_from_args(args: argparse.Namespace) -> FPSGConfig:

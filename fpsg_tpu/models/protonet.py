@@ -87,6 +87,8 @@ class ImgPCProtoNet(nn.Module):
     aggregate: str = "single"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    remat: bool = False  # rematerialize encoder/decoder activations in the
+                         # backward pass (HBM traffic ↔ recompute trade)
 
     def setup(self):
         if self.aggregate not in _AGGREGATORS:
@@ -105,7 +107,11 @@ class ImgPCProtoNet(nn.Module):
                 "Found unsupported point cloud reconstruction metrics: "
                 f"{self.metric}"
             )
-        self.img_encoder = ImageEncoder(
+        img_cls = nn.remat(ImageEncoder, static_argnums=(2,)) \
+            if self.remat else ImageEncoder
+        dec_cls = nn.remat(PrimitiveDecoder, static_argnums=(2,)) \
+            if self.remat else PrimitiveDecoder
+        self.img_encoder = img_cls(
             backbone=self.img_backbone, axis_name=self.axis_name,
             dtype=self.dtype, name="img_encoder",
         )
@@ -113,7 +119,7 @@ class ImgPCProtoNet(nn.Module):
             core=self.pc_backbone, axis_name=self.axis_name,
             dtype=self.dtype, name="pc_encoder_wrap",
         )
-        self.pc_decoder = PrimitiveDecoder(
+        self.pc_decoder = dec_cls(
             num_clusters=self.num_clusters,
             num_nodes=self.num_nodes,
             num_points=self.num_points,

@@ -318,6 +318,7 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
             )
         )
         counts = np.asarray(test_corpus.counts)
+        tmp_idx = 0
         for cls in range(len(counts)):
             if not counts[cls]:
                 continue
@@ -327,6 +328,14 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
                 name = test_corpus.class_names[cls]
                 per_class_cd[name].append(float(out["cd_loss"]) / n_query)
                 per_class_emd[name].append(float(out["emd_loss"]) / n_query)
+                if conf.dump_reconstructions:
+                    # the reference evaluator's OPTION 2 artifact path
+                    gt = test_corpus.clouds[cls, item][None]
+                    draw_reconstruction(
+                        np.asarray(out["syn_pc"]), np.asarray(gt),
+                        conf.npy_folder, str(tmp_idx), tmp_code=item,
+                    )
+                tmp_idx += 1
     else:
         eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=True)
         key, sub = jax.random.split(key)

@@ -80,13 +80,18 @@ def test_train_cli_end_to_end(fake_dataset, tmp_path):
         f.startswith("model_epoch_3") for f in os.listdir(run_dir)
     )
 
-    # evaluation CLI on the trained model
+    # evaluation CLI on the trained model, with reconstruction dumps
     from fpsg_tpu.cli.evaluate_Network import main as eval_main
 
+    npy_dir = os.path.join(ckpt_dir, "npy_out")
     eval_main(
         _train_args(fake_dataset, ckpt_dir)
-        + ["--eval_model", "model_epoch_2", "--sequential_eval"]
+        + ["--eval_model", "model_epoch_2", "--sequential_eval",
+           "--dump_reconstructions", "--npy_folder", npy_dir]
     )
+    dumped = os.listdir(npy_dir)
+    assert any(f.endswith(".png") for f in dumped)
+    assert any(f.endswith("_gt.npy") for f in dumped)
 
 
 def test_pretrain_cli(tmp_path):
