@@ -28,3 +28,19 @@ def test_self_is_included(rng):
     x = rng.standard_normal((1, 64, 16), np.float32)
     idx = np.asarray(knn_indices(jnp.array(x), k=5))
     assert (idx[0, :, 0] == np.arange(64)).all()
+
+
+def test_pallas_matches_oracle(rng):
+    x = rng.standard_normal((2, 256, 3), np.float32)
+    a = np.asarray(knn_indices(jnp.array(x), k=8, impl="oracle"))
+    b = np.asarray(knn_indices(jnp.array(x), k=8, impl="pallas"))
+    for bi in range(2):
+        for i in range(256):
+            assert set(a[bi, i]) == set(b[bi, i]), (bi, i)
+
+
+def test_pallas_wide_features(rng):
+    x = rng.standard_normal((1, 128, 64), np.float32)
+    a = np.asarray(knn_indices(jnp.array(x), k=4, impl="oracle"))
+    b = np.asarray(knn_indices(jnp.array(x), k=4, impl="pallas"))
+    np.testing.assert_array_equal(np.sort(a, -1), np.sort(b, -1))
