@@ -80,6 +80,7 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
+    profile_dir: str = ""        # write a jax.profiler trace of one epoch
     dump_reconstructions: bool = False  # eval: write PNG+npy per episode
                                  # (the reference evaluator's OPTION 2 path,
                                  # evaluate_Network.py:111)
@@ -153,6 +154,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
       choices=["f32", "bf16"])
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")
+    p("--profile_dir", type=str, default=d.profile_dir)
 
 
 def config_from_args(args: argparse.Namespace) -> FPSGConfig:

@@ -238,3 +238,44 @@ def nearest_neighbor(
         dxy, ixy, _, _ = _nn_pallas_both(x, y)
         return dxy, ixy
     return _nn_oracle(x, y)
+
+
+def masked_chamfer_distance(
+    x: jax.Array,
+    y: jax.Array,
+    mask_x: Optional[jax.Array] = None,
+    mask_y: Optional[jax.Array] = None,
+    w1: float = 1.0,
+    w2: float = 1.0,
+) -> jax.Array:
+    """Chamfer over ragged (padded) clouds: invalid points are excluded from
+    both the means and the nearest-neighbor candidates.
+
+    Args:
+      x: ``(B, N, D)``; mask_x: ``(B, N)`` bool (True = valid), or None.
+      y: ``(B, M, D)``; mask_y: ``(B, M)`` bool, or None.
+
+    The reference never needs this (clouds are padded to exactly 2048 by
+    resampling real points), but ragged per-class corpora do (SURVEY.md §7
+    hard part 5). Differentiable (pure jnp; masked min via +inf costs).
+    """
+    if x.ndim == 2:
+        x, y = x[None], y[None]
+    n, m = x.shape[-2], y.shape[-2]
+    ones = lambda a, k: jnp.ones(a.shape[:-1], bool) if k is None else k
+    mask_x = ones(x, mask_x)
+    mask_y = ones(y, mask_y)
+
+    d = pairwise_sqdist(x, y)
+    big = jnp.float32(1e30)
+    d_xy = jnp.where(mask_y[:, None, :], d, big)       # invalid y excluded
+    d_yx = jnp.where(mask_x[:, :, None], d, big)       # invalid x excluded
+
+    min_xy = jnp.min(d_xy, axis=-1)                    # (B, N)
+    min_yx = jnp.min(d_yx, axis=-2)                    # (B, M)
+
+    nx = jnp.maximum(jnp.sum(mask_x, axis=-1), 1)
+    ny = jnp.maximum(jnp.sum(mask_y, axis=-1), 1)
+    term1 = jnp.sum(jnp.where(mask_x, min_xy, 0.0), axis=-1) / nx
+    term2 = jnp.sum(jnp.where(mask_y, min_yx, 0.0), axis=-1) / ny
+    return w1 * term1 + w2 * term2

@@ -214,15 +214,43 @@ def train_network(conf: FPSGConfig) -> TrainState:
     key = jax.random.PRNGKey(conf.seed)
     timer = StepTimer()
 
-    for epoch in range(start_epoch, conf.epoch + 1):
+    def run_epoch(epoch, key, state):
         timer.reset()
         ttl_q, ttl_s = 0.0, 0.0
-        for i in range(steps_per_epoch):
+        for _ in range(steps_per_epoch):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, train_corpus, sub)
-            ttl_q += float(jnp.sum(metrics["query_rec_loss"])) / n_query
-            ttl_s += float(jnp.sum(metrics["support_rec_loss"])) / conf.n_shot
-            timer.tick(e_per_step)
+            ttl_q_i = float(jnp.sum(metrics["query_rec_loss"])) / n_query
+            ttl_s_i = (
+                float(jnp.sum(metrics["support_rec_loss"])) / conf.n_shot
+            )
+            ttl_q += ttl_q_i
+            ttl_s += ttl_s_i
+        return key, state, ttl_q, ttl_s
+
+    for epoch in range(start_epoch, conf.epoch + 1):
+        try:
+            if conf.profile_dir and epoch == start_epoch:
+                from fpsg_tpu.utils.profiling import trace_context
+
+                with trace_context(conf.profile_dir):
+                    key, state, ttl_q, ttl_s = run_epoch(epoch, key, state)
+            else:
+                key, state, ttl_q, ttl_s = run_epoch(epoch, key, state)
+        except (KeyboardInterrupt, Exception):
+            # failure containment: persist an emergency checkpoint so the
+            # run resumes with optimizer state intact (--resume <epoch-1>)
+            crash_path = os.path.join(
+                checkpoint_path, f"model_epoch_{max(epoch - 1, 1)}"
+            )
+            if not checkpoint_exists(crash_path):
+                save_checkpoint(crash_path, state)
+            logger.log(
+                f"Interrupted at epoch {epoch}; state saved to {crash_path}"
+            )
+            logger.flush()
+            raise
+        timer.tick(conf.n_episode)
 
         logger.log(
             f"Training Results for Epoch -- {epoch} are: "

@@ -145,3 +145,20 @@ def test_fake_modelnet_end_to_end(tmp_path, rng):
     assert corpus.class_names == ["cube", "sphere"]
     assert list(corpus.eligible) == [True, False]  # only cube in train
     assert corpus.clouds[0].shape == (5, 128, 3)  # 4 train + 1 test item
+
+
+def test_episode_class_distribution_matches_class_sizes(rng):
+    """Class draw probability proportional to class size (the reference's
+    EpisodicBatchSampler picks a random ITEM whose class seeds the
+    episode)."""
+    corpus = synthetic_corpus(n_classes=2, items_per_class=8, n_pts=16,
+                              img_size=8)
+    # make class 0 3x bigger
+    corpus.clouds[0] = np.tile(corpus.clouds[0], (3, 1, 1))
+    corpus.images[0] = np.tile(corpus.images[0], (3, 1, 1, 1))
+    dev = DeviceCorpus.build(corpus)
+    batch = sample_episode_batch(
+        jax.random.PRNGKey(0), dev, n_support=2, n_query=1, n_episodes=512
+    )
+    frac0 = float((np.asarray(batch["cls"]) == 0).mean())
+    assert 0.65 < frac0 < 0.85, frac0  # expected 0.75

@@ -78,3 +78,36 @@ def test_jit_and_vmap_compose(rng):
     np.testing.assert_allclose(
         f(x, y), chamfer_numpy(np.asarray(x), np.asarray(y)), rtol=1e-5, atol=1e-6
     )
+
+
+def test_masked_chamfer(rng):
+    from fpsg_tpu.ops.chamfer import masked_chamfer_distance
+
+    x_full = rng.standard_normal((1, 40, 3)).astype(np.float32)
+    y_full = rng.standard_normal((1, 50, 3)).astype(np.float32)
+    # pad with garbage beyond the valid prefix
+    x_pad = np.concatenate(
+        [x_full, 100 + rng.standard_normal((1, 24, 3)).astype(np.float32)], 1)
+    y_pad = np.concatenate(
+        [y_full, -100 + rng.standard_normal((1, 14, 3)).astype(np.float32)], 1)
+    mask_x = np.arange(64)[None] < 40
+    mask_y = np.arange(64)[None] < 50
+
+    got = masked_chamfer_distance(
+        jnp.array(x_pad), jnp.array(y_pad),
+        jnp.array(mask_x), jnp.array(mask_y),
+    )
+    want = chamfer_numpy(x_full, y_full)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    # no masks == plain chamfer
+    got2 = masked_chamfer_distance(jnp.array(x_full), jnp.array(y_full))
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-5)
+
+    # differentiable
+    g = jax.grad(lambda a: masked_chamfer_distance(
+        a, jnp.array(y_pad), jnp.array(mask_x), jnp.array(mask_y)).sum()
+    )(jnp.array(x_pad))
+    assert np.isfinite(np.asarray(g)).all()
+    # padded x points get zero gradient
+    np.testing.assert_allclose(np.asarray(g)[0, 40:], 0.0, atol=1e-7)
