@@ -9,13 +9,20 @@ Replaces the reference's external CUDA dependencies (SURVEY.md §2.4):
 """
 
 from fpsg_tpu.ops.pairwise import pairwise_sqdist
-from fpsg_tpu.ops.chamfer import chamfer_distance
-from fpsg_tpu.ops.emd import sinkhorn_emd
+from fpsg_tpu.ops.chamfer import (
+    chamfer_distance,
+    masked_chamfer_distance,
+    nearest_neighbor,
+)
+from fpsg_tpu.ops.emd import sinkhorn_emd, emd_wrapper
 from fpsg_tpu.ops.knn import knn_indices
 
 __all__ = [
     "pairwise_sqdist",
     "chamfer_distance",
+    "masked_chamfer_distance",
+    "nearest_neighbor",
     "sinkhorn_emd",
+    "emd_wrapper",
     "knn_indices",
 ]
