@@ -81,6 +81,8 @@ class FPSGConfig:
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
     profile_dir: str = ""        # write a jax.profiler trace of one epoch
+    export_torch: bool = False   # also save model_epoch_<e>.pt in the
+                                 # reference's torch state-dict layout
     dump_reconstructions: bool = False  # eval: write PNG+npy per episode
                                  # (the reference evaluator's OPTION 2 path,
                                  # evaluate_Network.py:111)
@@ -155,6 +157,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")
     p("--profile_dir", type=str, default=d.profile_dir)
+    p("--export_torch", action="store_true")
 
 
 def config_from_args(args: argparse.Namespace) -> FPSGConfig:

@@ -285,6 +285,18 @@ def train_network(conf: FPSGConfig) -> TrainState:
             save_checkpoint(
                 os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state
             )
+            if (conf.export_torch and conf.img_encoder == "vgg_16"
+                    and conf.pc_encoder == "pointnet"):
+                from fpsg_tpu.io.torch_export import export_imgpcprotonet
+
+                export_imgpcprotonet(
+                    os.path.join(checkpoint_path,
+                                 f"model_epoch_{epoch}.pt"),
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    num_clusters=conf.num_clusters,
+                    num_nodes=conf.num_nodes,
+                )
             logger.flush()
 
         # VISUALIZE (trainNetwork.py:200-207)

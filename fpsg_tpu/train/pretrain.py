@@ -197,6 +197,20 @@ def pretrain_pc_encoder(conf: PretrainConfig) -> Tuple[TrainState, str]:
                 },
             }
             save_checkpoint(out_path, enc)
+            if conf.core == "pointnet":
+                # Also write the torch-format file with the reference's
+                # exact name and key layout ({name}_{core}.pt,
+                # trainPointAE.py:126) — a drop-in --pc_encoder_path for
+                # the REFERENCE trainer.
+                from fpsg_tpu.io.torch_export import export_pc_encoder
+
+                export_pc_encoder(
+                    out_path + ".pt",
+                    {
+                        "params": state.params["encoder"],
+                        "batch_stats": state.batch_stats["encoder"],
+                    },
+                )
             logger.flush()
 
     logger.flush()
