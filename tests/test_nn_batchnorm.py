@@ -137,3 +137,50 @@ def test_multiaxis_features(rng):
             np.testing.assert_allclose(
                 np.asarray(updated["batch_stats"]["mean"])[ci, ni],
                 tbn.running_mean.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_cross_replica_stats_match_global_batch(rng):
+    """BN with axis_name inside shard_map == BN over the concatenated
+    batch (SURVEY.md §2.6: sharded episodes reproduce single-device
+    statistics)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from fpsg_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp=8, mp=1)
+    b_per, n, ch = 2, 10, 4
+    x = rng.standard_normal((8 * b_per, n, ch)).astype(np.float32)
+
+    bn_sync = BatchNorm(axis_name="dp")
+    # init in eval mode: pmean is only valid inside the mapped context
+    variables = bn_sync.init(jax.random.PRNGKey(0), jnp.array(x[:2]), True)
+
+    def shard_fn(xs):
+        y, mut = bn_sync.apply(
+            variables, xs, False, mutable=["batch_stats"]
+        )
+        return y, mut["batch_stats"]
+
+    y_sh, stats_sh = jax.jit(
+        jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=P("dp"), out_specs=(P("dp"), P()),
+            check_vma=False,
+        )
+    )(jnp.array(x))
+
+    bn_plain = BatchNorm()
+    y_pl, mut_pl = bn_plain.apply(
+        variables, jnp.array(x), False, mutable=["batch_stats"]
+    )
+
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_pl),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["mean"]),
+        np.asarray(mut_pl["batch_stats"]["mean"]), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(stats_sh["var"]),
+        np.asarray(mut_pl["batch_stats"]["var"]), rtol=1e-4, atol=1e-6)
