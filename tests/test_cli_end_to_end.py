@@ -136,3 +136,23 @@ def test_pretrained_encoder_flows_into_trainer(fake_dataset, tmp_path):
     post = tstate.params["pc_encoder_wrap"]
     for a, b in zip(jax.tree.leaves(pre), jax.tree.leaves(post)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_random_sampler_api(fake_dataset, tmp_path):
+    """Non-sequential (EpisodicBatchSampler-style) eval path with EMD."""
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.train.loop import evaluate_network
+
+    conf = FPSGConfig(
+        config_path=fake_dataset + "modelnet_train.txt",
+        test_path=fake_dataset + "modelnet_test.txt",
+        refer_path=fake_dataset + "modelnet_files/",
+        img_encoder="tiny",
+        n_shot=3, n_query=1, num_pts=128,
+        eval_episodes=6,
+        model_path=str(tmp_path), name="na",
+    )
+    results = evaluate_network(conf)
+    assert results, "no per-class results"
+    for name, vals in results.items():
+        assert np.isfinite(vals["cd"]) and np.isfinite(vals["emd"])
