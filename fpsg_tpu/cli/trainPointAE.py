@@ -23,12 +23,12 @@ def main(argv=None):
     p.add_argument("--core", type=str, default="pointnet",
                    choices=["pointnet", "dgcnn"])
     p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--lr_decay", type=int, default=50)
+    p.add_argument("--lr_decay", type=int, default=40)
     p.add_argument("--epoch", type=int, default=150)
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--val_interval", type=int, default=10)
     p.add_argument("--save_interval", type=int, default=20)
-    p.add_argument("--name", type=str, default="pretrain")
+    p.add_argument("--name", type=str, default="pretrain_pointnet")
     p.add_argument("--model_path", type=str, default="../checkpoint")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)

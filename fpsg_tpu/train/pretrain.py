@@ -37,12 +37,12 @@ class PretrainConfig:
     dataset: str = "modelnet"
     core: str = "pointnet"
     lr: float = 1e-3
-    lr_decay: int = 50
+    lr_decay: int = 40
     epoch: int = 150            # reference loop hardcodes range(1, 151)
     batch_size: int = 32
     val_interval: int = 10
     save_interval: int = 20
-    name: str = "pretrain"
+    name: str = "pretrain_pointnet"
     model_path: str = "../checkpoint"
     seed: int = 0
     n_pts: int = 2048
