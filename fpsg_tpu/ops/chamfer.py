@@ -226,7 +226,10 @@ def chamfer_distance(
         y = y[None]
     n = x.shape[-2]
     if impl == "auto":
-        impl = "pallas" if (n % 256 == 0 or n % 128 == 0) else "oracle"
+        # measured crossover (benchmarks/ops_bench.py): XLA's fused oracle
+        # wins up to ~4k points; the VMEM kernel wins beyond, where the
+        # materialized N^2 matrix starts to dominate HBM traffic
+        impl = "pallas" if (n > 4096 and n % 128 == 0) else "oracle"
     return _chamfer(x, y, float(w1), float(w2), impl)
 
 
