@@ -156,3 +156,24 @@ def test_evaluate_random_sampler_api(fake_dataset, tmp_path):
     assert results, "no per-class results"
     for name, vals in results.items():
         assert np.isfinite(vals["cd"]) and np.isfinite(vals["emd"])
+
+
+def test_generate_cli(fake_dataset, tmp_path):
+    """Single-image inference CLI: image + support plys -> npy cloud."""
+    from fpsg_tpu.cli.generate import main as gen_main
+
+    # grab a query image + support plys from the fixture tree
+    with open(fake_dataset + "modelnet_files/modelnet+cube.txt") as f:
+        rows = [ln.strip().split("\t") for ln in f if ln.strip()]
+    img = rows[0][0]
+    support_dir = os.path.dirname(rows[0][1])
+
+    out = str(tmp_path / "cloud.npy")
+    gen_main([
+        "--config_path", "NA", "--test_path", "NA",
+        "--img_encoder", "tiny", "--num_pts", "128",
+        "--image", img, "--support_dir", support_dir, "--out", out,
+    ])
+    cloud = np.load(out)
+    assert cloud.shape == (128, 3)
+    assert np.isfinite(cloud).all()
