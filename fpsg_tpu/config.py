@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass

@@ -15,7 +15,7 @@ trick (invalid slots get -inf priority).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 import flax.struct
 import jax

@@ -11,7 +11,7 @@ reference's lossy resume, which restarted them from zero
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

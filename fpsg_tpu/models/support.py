@@ -17,7 +17,6 @@ from typing import Optional
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 from fpsg_tpu.nn.normalization import BatchNorm
 

@@ -17,7 +17,6 @@ that changes.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 

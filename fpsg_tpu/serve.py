@@ -13,7 +13,6 @@ compiled executable; batching over query images is a leading axis.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -15,9 +15,6 @@ otherwise).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 import optax
