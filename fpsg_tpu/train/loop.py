@@ -258,6 +258,12 @@ def train_network(conf: FPSGConfig) -> TrainState:
             f"Support_rec: {ttl_s / conf.n_episode} "
             f"[{timer.episodes_per_sec:.2f} episodes/s]"
         )
+        logger.metrics({
+            "epoch": epoch,
+            "query_rec": ttl_q / conf.n_episode,
+            "support_rec": ttl_s / conf.n_episode,
+            "episodes_per_sec": timer.episodes_per_sec,
+        })
 
         # EVALUATION (reference cadence, trainNetwork.py:157-188)
         if epoch % conf.eval_interval == 0 or epoch == conf.epoch:

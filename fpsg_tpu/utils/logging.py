@@ -28,6 +28,15 @@ class RunLogger:
         print(line)
         self._buffer.append(line)
 
+    def metrics(self, record: dict) -> None:
+        """Append a structured record to ``metrics.jsonl`` (machine-readable
+        counterpart of the text log; the reference has prints only)."""
+        import json
+
+        path = os.path.join(self.checkpoint_path, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
     def flush(self) -> None:
         if not self._buffer:
             return
