@@ -265,12 +265,19 @@ def train_network(conf: FPSGConfig) -> TrainState:
             "episodes_per_sec": timer.episodes_per_sec,
         })
 
-        # EVALUATION (reference cadence, trainNetwork.py:157-188)
+        # EVALUATION (reference cadence, trainNetwork.py:157-188; the
+        # sampler choice mirrors trainNetwork.py:88-91 — sequential walks
+        # every test item once, else random episodes)
         if epoch % conf.eval_interval == 0 or epoch == conf.epoch:
             key, sub = jax.random.split(key)
-            out = eval_step(state, test_corpus, sub, conf.eval_episodes)
-            cd = np.asarray(out["cd_loss"]) / n_query
-            cls = np.asarray(out["cls"])
+            if conf.sequential_eval:
+                cd, cls = _sequential_eval_cd(
+                    model, state, test_corpus, conf, sub
+                )
+            else:
+                out = eval_step(state, test_corpus, sub, conf.eval_episodes)
+                cd = np.asarray(out["cd_loss"]) / n_query
+                cls = np.asarray(out["cls"])
             per_class = defaultdict(list)
             for c, v in zip(cls, cd):
                 per_class[test_corpus.class_names[int(c)]].append(float(v))
@@ -315,6 +322,29 @@ def train_network(conf: FPSGConfig) -> TrainState:
 
     logger.flush()
     return state
+
+
+def _sequential_eval_cd(model, state, corpus, conf, key):
+    """Deterministic full-test-set CD: every item once as the query
+    (SequentialBatchSampler semantics in the trainer's in-loop eval)."""
+    seq_step = jax.jit(
+        lambda st, cps, cls, item, k: model.apply(
+            st.variables,
+            sequential_episode(cps, cls, item, k, conf.n_shot),
+            False,
+            rngs={"template": k},
+        )["query_rec_loss"]
+    )
+    counts = np.asarray(corpus.counts)
+    cds, clss = [], []
+    for cls in range(len(counts)):
+        for item in range(int(counts[cls])):
+            key, sub = jax.random.split(key)
+            cds.append(float(seq_step(state, corpus, cls, item, sub)))
+            clss.append(cls)
+    n_query = conf.effective_n_query
+    del n_query  # sequential episodes have exactly one query
+    return np.asarray(cds), np.asarray(clss)
 
 
 def _draw_sample(model, state, corpus, conf, key, out_dir, tag):
