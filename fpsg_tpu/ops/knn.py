@@ -115,8 +115,12 @@ def knn_indices(x: jax.Array, k: int = 20, *, impl: str = "auto") -> jax.Array:
             or 'auto' (pallas once the matrix would exceed ~64 MB).
     """
     n = x.shape[-2]
+    b = x.shape[0] if x.ndim == 3 else 1
     if impl == "auto":
-        impl = "pallas" if n > 4096 and n % 128 == 0 else "oracle"
+        # kernel wins when the batch's materialized distance matrices get
+        # large (HBM traffic + slow top_k), or beyond N=4096 outright
+        big = b * n * n * 4 > 256 * 2 ** 20
+        impl = "pallas" if (n % 128 == 0 and (n > 4096 or big)) else "oracle"
     if impl == "pallas":
         return _knn_pallas(x, k)
     d = pairwise_sqdist(x, x)
