@@ -116,6 +116,10 @@ def knn_indices(x: jax.Array, k: int = 20, *, impl: str = "auto") -> jax.Array:
     """
     n = x.shape[-2]
     b = x.shape[0] if x.ndim == 3 else 1
+    # Neighbor indices carry no gradient (the reference's topk indices are
+    # equally non-differentiable); detaching also lets the Pallas kernel sit
+    # inside differentiated graphs (pallas_call has no linearization rule).
+    x = jax.lax.stop_gradient(x)
     if impl == "auto":
         # kernel wins when the batch's materialized distance matrices get
         # large (HBM traffic + slow top_k), or beyond N=4096 outright
