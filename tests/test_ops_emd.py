@@ -59,3 +59,25 @@ def test_grad_is_finite_and_descends(rng):
     assert np.all(np.isfinite(np.asarray(g)))
     l0, l1 = float(loss(x)), float(loss(x - 0.1 * g))
     assert l1 < l0
+
+
+def test_euclidean_cost_and_mean_reduce(rng):
+    x = jnp.array(rng.standard_normal((2, 32, 3), np.float32))
+    y = jnp.array(rng.standard_normal((2, 32, 3), np.float32))
+    per = sinkhorn_emd(x, y, n_iters=50, cost="euclidean")
+    assert per.shape == (2,)
+    assert (np.asarray(per) > 0).all()
+    m = sinkhorn_emd(x, y, n_iters=50, cost="euclidean", reduce="mean")
+    np.testing.assert_allclose(float(m), float(per.mean()), rtol=1e-6)
+    # euclidean ground cost gives smaller values than squared for d>1
+    sq = sinkhorn_emd(x, y, n_iters=50, cost="sqeuclidean")
+    assert np.isfinite(np.asarray(sq)).all()
+
+
+def test_pallas_matches_oracle_potentials(rng):
+    x = jnp.array(rng.standard_normal((2, 64, 3), np.float32))
+    y = jnp.array(rng.standard_normal((2, 64, 3), np.float32))
+    a = sinkhorn_emd(x, y, n_iters=80, impl="oracle")
+    b = sinkhorn_emd(x, y, n_iters=80, impl="pallas")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-5)
