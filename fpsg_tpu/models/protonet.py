@@ -95,13 +95,18 @@ class ImgPCProtoNet(nn.Module):
             raise NotImplementedError(
                 f"Found unsupported prototype aggregation: {self.aggregate}"
             )
-        if self.aggregate != "single":
+        if self.aggregate in ("multi", "mask_multi"):
             # Reference accepts these flags but only 'single' semantics are
             # implemented (few_shot.py:49-52, SURVEY.md §5.1 item 10).
             warnings.warn(
                 f"aggregate='{self.aggregate}' behaves as 'single' "
-                "(reference parity: mask/multi modes are inert)"
+                "(reference parity: multi modes are inert)"
             )
+        # 'mask_single' is ACTIVE here (extension): the reference ships a
+        # complete FCMaskAlloacter but never wires it (build_model passes
+        # mask_allocater=None, trainNetwork.py:54). We realize the evident
+        # intent: a sigmoid mask over prototype dims predicted from
+        # [img_feat ‖ proto], gating the prototype per query.
         if self.metric not in ("cd", "emd"):
             raise NotImplementedError(
                 "Found unsupported point cloud reconstruction metrics: "
@@ -119,6 +124,16 @@ class ImgPCProtoNet(nn.Module):
             core=self.pc_backbone, axis_name=self.axis_name,
             dtype=self.dtype, name="pc_encoder_wrap",
         )
+        if self.aggregate == "mask_single":
+            from fpsg_tpu.models.support import FCMaskAllocater
+
+            proto_dim = self.bottleneck_size - 512  # img branch is 512-d
+            self.mask_allocater = FCMaskAllocater(
+                proto_dim=proto_dim, axis_name=self.axis_name,
+                name="mask_allocater",
+            )
+        else:
+            self.mask_allocater = None
         self.pc_decoder = dec_cls(
             num_clusters=self.num_clusters,
             num_nodes=self.num_nodes,
@@ -156,6 +171,11 @@ class ImgPCProtoNet(nn.Module):
         proto_mat_q = jnp.broadcast_to(
             proto, (n_query, proto.shape[-1])
         )
+        if self.mask_allocater is not None:
+            mask = self.mask_allocater(
+                jnp.concatenate([img_zq, proto_mat_q], axis=1), train
+            )
+            proto_mat_q = proto_mat_q * mask
         return img_zad, img_zq, pc_z_ad, proto_mat_q
 
     def _pc_metric(self, syn: jax.Array, ref: jax.Array) -> jax.Array:

@@ -155,3 +155,31 @@ def test_emd_metric_trains(rng):
         rngs={"template": jax.random.PRNGKey(2)},
     )
     assert np.isfinite(float(out["ttl_loss"]))
+
+
+def test_mask_single_aggregate(rng):
+    """mask_single: FCMaskAllocater gates the prototype (extension of the
+    reference's declared-but-unwired mode)."""
+    model = tiny_model(aggregate="mask_single")
+    sample = tiny_episode(rng)
+    variables = init_model(model, sample)
+    assert "mask_allocater" in variables["params"]
+    out, _ = model.apply(
+        variables, sample, True, mutable=["batch_stats"],
+        rngs={"template": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(float(out["ttl_loss"]))
+
+    # the mask actually changes the loss vs 'single' with shared weights
+    single = tiny_model(aggregate="single")
+    vars_single = {
+        "params": {k: v for k, v in variables["params"].items()
+                   if k != "mask_allocater"},
+        "batch_stats": {k: v for k, v in variables["batch_stats"].items()
+                        if k != "mask_allocater"},
+    }
+    out_single, _ = single.apply(
+        vars_single, sample, True, mutable=["batch_stats"],
+        rngs={"template": jax.random.PRNGKey(2)},
+    )
+    assert float(out["ttl_loss"]) != float(out_single["ttl_loss"])
