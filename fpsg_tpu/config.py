@@ -79,6 +79,9 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
+    host_corpus: bool = False    # corpus stays in host RAM; episodes are
+                                 # assembled on a prefetch thread (for
+                                 # datasets larger than HBM)
     profile_dir: str = ""        # write a jax.profiler trace of one epoch
     export_torch: bool = False   # also save model_epoch_<e>.pt in the
                                  # reference's torch state-dict layout
@@ -155,6 +158,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
       choices=["f32", "bf16"])
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")
+    p("--host_corpus", action="store_true")
     p("--profile_dir", type=str, default=d.profile_dir)
     p("--export_torch", action="store_true")
 

@@ -186,9 +186,14 @@ def train_network(conf: FPSGConfig) -> TrainState:
     checkpoint_path = os.path.join(conf.model_path, conf.name)
     logger = RunLogger(checkpoint_path)
 
-    train_corpus = DeviceCorpus.build(build_corpus(conf, conf.config_path))
+    host_train_corpus = build_corpus(conf, conf.config_path)
     test_corpus = DeviceCorpus.build(build_corpus(conf, conf.test_path))
-    img_size = int(train_corpus.images.shape[2])
+    img_size = int(host_train_corpus.images[0].shape[1])
+    # Corpus placement: HBM-resident stacks (default) or host RAM with a
+    # prefetch thread (--host_corpus, for datasets larger than HBM).
+    train_corpus = (
+        None if conf.host_corpus else DeviceCorpus.build(host_train_corpus)
+    )
 
     model = build_model(conf)
     state, tx = make_state(model, conf, img_size=img_size)
@@ -206,9 +211,23 @@ def train_network(conf: FPSGConfig) -> TrainState:
 
     e_per_step = conf.episodes_per_step
     steps_per_epoch = max(conf.n_episode // e_per_step, 1)
-    train_step = make_train_step(
-        model, tx, conf.n_shot, n_query, n_episodes=e_per_step
-    )
+    if conf.host_corpus:
+        from fpsg_tpu.data.host_pipeline import (
+            make_host_train_step, prefetched_episodes,
+        )
+
+        episode_iter = prefetched_episodes(
+            host_train_corpus, conf.n_shot, n_query,
+            n_episodes=e_per_step, seed=conf.seed,
+        )
+        host_step = make_host_train_step(model, tx)
+
+        def train_step(state, _corpus, sub):
+            return host_step(state, next(episode_iter), sub)
+    else:
+        train_step = make_train_step(
+            model, tx, conf.n_shot, n_query, n_episodes=e_per_step
+        )
     eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=False)
 
     key = jax.random.PRNGKey(conf.seed)
@@ -315,10 +334,23 @@ def train_network(conf: FPSGConfig) -> TrainState:
         # VISUALIZE (trainNetwork.py:200-207)
         if epoch % conf.sample_interval == 0:
             key, sub = jax.random.split(key)
-            _draw_sample(
-                model, state, train_corpus, conf, sub,
-                logger.images_dir, f"sample_img_{epoch}",
-            )
+            if conf.host_corpus:
+                batch = next(episode_iter)
+                sample = jax.tree.map(lambda x: x[0], {
+                    k: v for k, v in batch.items() if k != "cls"})
+                out = model.apply(
+                    state.variables, sample, method=model.reconstruct,
+                    rngs={"template": sub},
+                )
+                draw_reconstruction(
+                    np.asarray(out["syn_pc"]), np.asarray(sample["pcq"]),
+                    logger.images_dir, f"sample_img_{epoch}",
+                )
+            else:
+                _draw_sample(
+                    model, state, train_corpus, conf, sub,
+                    logger.images_dir, f"sample_img_{epoch}",
+                )
 
     logger.flush()
     return state

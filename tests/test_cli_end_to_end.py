@@ -177,3 +177,15 @@ def test_generate_cli(fake_dataset, tmp_path):
     cloud = np.load(out)
     assert cloud.shape == (128, 3)
     assert np.isfinite(cloud).all()
+
+
+def test_train_cli_host_corpus(fake_dataset, tmp_path):
+    """--host_corpus: host-RAM corpus + prefetch-thread episode assembly."""
+    from fpsg_tpu.cli.trainNetwork import main as train_main
+
+    ckpt_dir = str(tmp_path / "ckpt_host")
+    train_main(_train_args(fake_dataset, ckpt_dir) + ["--host_corpus"])
+    run_dir = os.path.join(ckpt_dir, "cli_test")
+    logs = [f for f in os.listdir(run_dir) if f.startswith("log_")]
+    text = open(os.path.join(run_dir, logs[0])).read()
+    assert "Training Results for Epoch -- 2" in text
