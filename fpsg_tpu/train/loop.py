@@ -232,6 +232,10 @@ def train_network(conf: FPSGConfig) -> TrainState:
 
     key = jax.random.PRNGKey(conf.seed)
     timer = StepTimer()
+    # Live-state holder: the step donates its input buffers, so on a crash
+    # the epoch-entry `state` may reference deleted arrays; the holder
+    # always points at the newest valid state for the emergency save.
+    live = {"state": state}
 
     def run_epoch(epoch, key, state):
         timer.reset()
@@ -239,6 +243,7 @@ def train_network(conf: FPSGConfig) -> TrainState:
         for _ in range(steps_per_epoch):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, train_corpus, sub)
+            live["state"] = state
             ttl_q_i = float(jnp.sum(metrics["query_rec_loss"])) / n_query
             ttl_s_i = (
                 float(jnp.sum(metrics["support_rec_loss"])) / conf.n_shot
@@ -262,11 +267,20 @@ def train_network(conf: FPSGConfig) -> TrainState:
             crash_path = os.path.join(
                 checkpoint_path, f"model_epoch_{max(epoch - 1, 1)}"
             )
-            if not checkpoint_exists(crash_path):
-                save_checkpoint(crash_path, state)
-            logger.log(
-                f"Interrupted at epoch {epoch}; state saved to {crash_path}"
-            )
+            try:
+                if not checkpoint_exists(crash_path):
+                    save_checkpoint(crash_path, live["state"])
+                logger.log(
+                    f"Interrupted at epoch {epoch}; state saved to "
+                    f"{crash_path}"
+                )
+            except Exception:
+                # state buffers may themselves be donated if the failure
+                # happened mid-dispatch; fall back to on-disk checkpoints
+                logger.log(
+                    f"Interrupted at epoch {epoch}; live state unsaveable, "
+                    "resume from the last periodic checkpoint"
+                )
             logger.flush()
             raise
         timer.tick(conf.n_episode)
