@@ -448,8 +448,10 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
                 key, sub = jax.random.split(key)
                 out = seq_step(state, test_corpus, cls, item, sub)
                 name = test_corpus.class_names[cls]
-                per_class_cd[name].append(float(out["cd_loss"]) / n_query)
-                per_class_emd[name].append(float(out["emd_loss"]) / n_query)
+                # sequential episodes have exactly ONE query (the indexed
+                # item), so per-query normalization divides by 1
+                per_class_cd[name].append(float(out["cd_loss"]))
+                per_class_emd[name].append(float(out["emd_loss"]))
                 if conf.dump_reconstructions:
                     # the reference evaluator's OPTION 2 artifact path
                     gt = test_corpus.clouds[cls, item][None]
