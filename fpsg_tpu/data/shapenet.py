@@ -30,10 +30,27 @@ def load_shapenet_corpus(
     image_transform: Callable = shapenet_image_transform,
     data_augment: bool = False,
     seed: Optional[int] = 0,
+    config_path: Optional[str] = None,
 ) -> ClassCorpus:
-    """Build the per-class corpus from ``shapenet+<synset>.txt`` files."""
+    """Build the per-class corpus from ``shapenet+<synset>.txt`` files.
+
+    Like the ModelNet loader: all manifest classes join the (ad-set) corpus;
+    only classes with an item in the global ``config_path`` manifest are
+    episode-eligible (mirrors FewShotShapeNet's pairing of the global config
+    with the per-class reference dict, shapenet.py:103-171).
+    """
     rng = np.random.default_rng(seed)
-    names, images, clouds = [], [], []
+
+    allowed = None
+    if config_path:
+        allowed = set()
+        with open(config_path) as f:
+            for line in f:
+                item = line.rstrip("\n")
+                if item:
+                    allowed.add(item)
+
+    names, images, clouds, eligible = [], [], [], []
     for fname in sorted(os.listdir(auxiliary_dir)):
         if not fname.endswith(".txt"):
             continue
@@ -42,11 +59,14 @@ def load_shapenet_corpus(
         if classes is not None and cls not in classes and synset not in classes:
             continue
         cls_imgs, cls_pcs = [], []
+        cls_eligible = allowed is None
         with open(os.path.join(auxiliary_dir, fname)) as f:
             for line in f:
                 item_path = line.rstrip("\n")
                 if not item_path:
                     continue
+                if allowed is not None and item_path in allowed:
+                    cls_eligible = True
                 npy_file = os.path.join(item_path, "npy_file.npy")
                 view_root = os.path.join(item_path, "images")
                 if not os.path.exists(npy_file):
@@ -68,9 +88,13 @@ def load_shapenet_corpus(
         names.append(cls)
         images.append(np.stack(cls_imgs))
         clouds.append(np.stack(cls_pcs).astype(np.float32))
+        eligible.append(cls_eligible)
 
     if not names:
         raise FileNotFoundError(
             f"no class manifests loaded from {auxiliary_dir}"
         )
-    return ClassCorpus(class_names=names, images=images, clouds=clouds)
+    return ClassCorpus(
+        class_names=names, images=images, clouds=clouds,
+        eligible=np.array(eligible, bool),
+    )

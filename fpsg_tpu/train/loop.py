@@ -121,6 +121,7 @@ def build_corpus(conf: FPSGConfig, config_path: str) -> ClassCorpus:
 
         return load_shapenet_corpus(
             conf.refer_path, n_pts=conf.num_points, seed=conf.seed,
+            config_path=config_path,
         )
     if conf.dataset == "synthetic":
         from fpsg_tpu.data.synthetic import synthetic_corpus

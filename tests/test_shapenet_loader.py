@@ -69,3 +69,20 @@ def test_shapenet_subsample_seeded(tmp_path, rng):
     b = load_shapenet_corpus(out + "shapenet_files/", n_pts=64,
                              image_transform=tf, seed=7)
     np.testing.assert_array_equal(a.clouds[0], b.clouds[0])
+
+
+def test_shapenet_eligibility_from_config(tmp_path, rng):
+    pc_root = _materialize_fake_shapenet(str(tmp_path), rng)
+    out = str(tmp_path) + "/manifests/"
+    generate_shapenet_manifests(
+        pc_root, out, train_classes=["airplane"], test_classes=["bowl"],
+    )
+    tf = lambda p: np.zeros((4, 4, 3), np.uint8)
+    corpus = load_shapenet_corpus(
+        out + "shapenet_files/", n_pts=64, image_transform=tf,
+        config_path=out + "shapenet_train.txt",
+    )
+    # both classes in the corpus; only airplane episode-eligible
+    assert sorted(corpus.class_names) == ["airplane", "bowl"]
+    elig = dict(zip(corpus.class_names, corpus.eligible))
+    assert elig["airplane"] and not elig["bowl"]
