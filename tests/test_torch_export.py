@@ -120,3 +120,91 @@ def test_full_model_export_loads_into_torch_reference_decoder(tmp_path, rng):
         variables["batch_stats"]["pc_decoder"]["node_bn2"]["var"]
     )[1, 0]
     np.testing.assert_array_equal(rv.numpy(), ours_rv)
+
+
+def test_export_full_pipeline_torch_equivalence(tmp_path, rng):
+    """End-to-end: our exported ImgPCProtoNet state dict, loaded into
+    torch modules with the reference structure, reproduces our full
+    generation pipeline (VGG feats -> prototype -> decoder -> cloud)."""
+    import torch.nn.functional as F
+
+    from test_golden_parity import (
+        TorchVGG, build_torch_decoder, run_torch_decoder,
+    )
+    from test_io_torch import TorchPointNetFeat
+    from fpsg_tpu.models import ImgPCProtoNet
+    from fpsg_tpu.train.step import init_model
+
+    c, nn_, n_pts = 2, 2, 64
+    model = ImgPCProtoNet(
+        img_backbone="vgg_16", num_clusters=c, num_nodes=nn_,
+        num_points=n_pts, bottleneck_size=1536,
+    )
+    s, q, img = 3, 1, 64
+    sample = {
+        "xs": jnp.array(rng.standard_normal((s, img, img, 3)), jnp.float32),
+        "xq": jnp.array(rng.standard_normal((q, img, img, 3)), jnp.float32),
+        "xad": jnp.zeros((s, img, img, 3)),
+        "pcs": jnp.array(rng.standard_normal((s, n_pts, 3)), jnp.float32) * .3,
+        "pcq": jnp.zeros((q, n_pts, 3)),
+        "pcad": jnp.zeros((s, n_pts, 3)),
+    }
+    variables = init_model(model, sample)
+    p = str(tmp_path / "full.pt")
+    export_imgpcprotonet(p, variables, num_clusters=c, num_nodes=nn_)
+    sd = torch.load(p, map_location="cpu", weights_only=False)
+
+    # ---- torch side, reference structure, exported weights -------------
+    tvgg = TorchVGG()
+    tvgg.load_state_dict({
+        k[len("img_encoder.img_feature_extractor."):].join(
+            ["features.", ""]): v
+        for k, v in sd.items()
+        if k.startswith("img_encoder.img_feature_extractor.")
+    })
+    tvgg.eval()
+    tpn = TorchPointNetFeat()
+    tpn.load_state_dict({
+        k[len("pc_encoder.pc_encoder.pointnet_feat_extractor."):]: v
+        for k, v in sd.items()
+        if k.startswith("pc_encoder.pc_encoder.pointnet_feat_extractor.")
+    })
+    tpn.eval()
+
+    # fixed template points shared by both sides
+    ppn = n_pts // c // nn_
+    raw = rng.uniform(0, 1, (q, c, nn_, ppn, 2)).astype(np.float32)
+
+    with torch.no_grad():
+        img_z = tvgg(torch.from_numpy(np.asarray(sample["xq"]))
+                     .permute(0, 3, 1, 2))
+        pc_z = tpn(torch.from_numpy(np.asarray(sample["pcs"]))
+                   .transpose(2, 1))
+        proto = pc_z.mean(0, keepdim=True).repeat(q, 1)
+        h = torch.cat([img_z, proto], dim=1).numpy()
+
+    deformers, nodes = build_torch_decoder(
+        variables["params"]["pc_decoder"], c, nn_, 2, 128, 1539
+    )
+    with torch.no_grad():
+        syn_t = run_torch_decoder(deformers, nodes, h, raw, train=False)
+
+    # ---- jax side: same pipeline through our model ----------------------
+    def jax_generate(variables, sample):
+        img_z = model.apply(
+            variables, sample["xq"], False,
+            method=lambda m, x, t: m.img_encoder(x, t))
+        pc_z = model.apply(
+            variables, sample["pcs"], False,
+            method=lambda m, x, t: m.pc_encoder(x, t))
+        proto = jnp.mean(pc_z, axis=0, keepdims=True)
+        h = jnp.concatenate(
+            [img_z, jnp.broadcast_to(proto, (q, proto.shape[-1]))], axis=1)
+        return model.apply(
+            variables, h, False, jnp.asarray(raw),
+            method=lambda m, hh, t, r: m.pc_decoder(
+                hh, t, template_points=r))
+
+    syn_j = jax_generate(variables, sample)
+    np.testing.assert_allclose(
+        np.asarray(syn_j), syn_t.numpy(), rtol=1e-3, atol=1e-4)
