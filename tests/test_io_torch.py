@@ -120,3 +120,45 @@ def test_golden_pointnet_feature_parity(rng):
 
     np.testing.assert_allclose(
         np.asarray(feat_j), feat_t.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_reader_handles_torch_save_varied_dtypes(tmp_path, rng):
+    """torch.save → our reader, across dtypes/shapes/0-dim."""
+    from fpsg_tpu.io.torch_pickle import load_torch_checkpoint
+
+    sd = {
+        "f32": torch.tensor(rng.standard_normal((3, 5)), dtype=torch.float32),
+        "f64": torch.tensor(rng.standard_normal(7), dtype=torch.float64),
+        "i64": torch.arange(6, dtype=torch.int64).reshape(2, 3),
+        "i32": torch.tensor([1, -2, 3], dtype=torch.int32),
+        "u8": torch.tensor([[0, 255]], dtype=torch.uint8),
+        "bool": torch.tensor([True, False]),
+        "scalar": torch.tensor(4, dtype=torch.int64),
+        "f16": torch.tensor([1.5, -2.25], dtype=torch.float16),
+        "noncontig": torch.tensor(
+            rng.standard_normal((4, 6)), dtype=torch.float32).t(),
+    }
+    p = str(tmp_path / "varied.pt")
+    torch.save(sd, p)
+    ours = load_torch_checkpoint(p)
+    assert set(ours) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(np.asarray(ours[k]), v.numpy())
+
+
+def test_reader_handles_nested_containers(tmp_path, rng):
+    from fpsg_tpu.io.torch_pickle import load_torch_checkpoint
+
+    obj = {
+        "nested": {"a": torch.ones(3), "b": [torch.zeros(2), 5, "text"]},
+        "tuple": (torch.full((2, 2), 7.0), None),
+    }
+    p = str(tmp_path / "nested.pt")
+    torch.save(obj, p)
+    ours = load_torch_checkpoint(p)
+    np.testing.assert_array_equal(np.asarray(ours["nested"]["a"]),
+                                  np.ones(3, np.float32))
+    assert ours["nested"]["b"][1] == 5 and ours["nested"]["b"][2] == "text"
+    np.testing.assert_array_equal(np.asarray(ours["tuple"][0]),
+                                  np.full((2, 2), 7.0, np.float32))
+    assert ours["tuple"][1] is None
