@@ -479,8 +479,9 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
             "cd": statistics.mean(per_class_cd[name]),
             "emd": statistics.mean(per_class_emd[name]),
         }
+        # exact reference line format (evaluate_Network.py:122)
         print(
-            f"Class: {name} -- Rec CD: {results[name]['cd']} "
-            f"EMD: {results[name]['emd']}"
+            f"Class: {name} -- Rec CD: {results[name]['cd']}; "
+            f"Rec EMD: {results[name]['emd']}"
         )
     return results

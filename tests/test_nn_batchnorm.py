@@ -184,3 +184,21 @@ def test_cross_replica_stats_match_global_batch(rng):
     np.testing.assert_allclose(
         np.asarray(stats_sh["var"]),
         np.asarray(mut_pl["batch_stats"]["var"]), rtol=1e-4, atol=1e-6)
+
+
+def test_zero_variance_channel_stable(rng):
+    """Constant-input channels (the conditioning pathology, DESIGN.md §8)
+    must stay finite in both train and eval modes."""
+    x = np.ones((4, 16, 8), np.float32) * 3.0   # zero variance everywhere
+    bn = BatchNorm()
+    variables = bn.init(jax.random.PRNGKey(0), jnp.array(x), False)
+    y, mut = bn.apply(variables, jnp.array(x), False,
+                      mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-4)
+    y_eval = bn.apply(
+        {"params": variables["params"],
+         "batch_stats": mut["batch_stats"]},
+        jnp.array(x), True,
+    )
+    assert np.isfinite(np.asarray(y_eval)).all()
