@@ -189,3 +189,18 @@ def test_train_cli_host_corpus(fake_dataset, tmp_path):
     logs = [f for f in os.listdir(run_dir) if f.startswith("log_")]
     text = open(os.path.join(run_dir, logs[0])).read()
     assert "Training Results for Epoch -- 2" in text
+
+
+def test_profile_dir_writes_trace(fake_dataset, tmp_path):
+    from fpsg_tpu.cli.trainNetwork import main as train_main
+
+    prof = str(tmp_path / "trace")
+    train_main(
+        _train_args(fake_dataset, str(tmp_path / "ck"), epochs=1)
+        + ["--n_episode", "2", "--profile_dir", prof]
+    )
+    import glob
+
+    assert glob.glob(prof + "/**/*.trace.json.gz", recursive=True) or \
+        glob.glob(prof + "/**/*.xplane.pb", recursive=True), \
+        "no profiler trace written"
