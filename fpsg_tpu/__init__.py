@@ -26,3 +26,28 @@ Reference layout/behavior citations use ``/root/reference`` file:line paths.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (keeps `import fpsg_tpu` light)."""
+    if name == "FPSGConfig":
+        from fpsg_tpu.config import FPSGConfig
+
+        return FPSGConfig
+    if name == "ImgPCProtoNet":
+        from fpsg_tpu.models import ImgPCProtoNet
+
+        return ImgPCProtoNet
+    if name == "Generator":
+        from fpsg_tpu.serve import Generator
+
+        return Generator
+    if name == "train_network":
+        from fpsg_tpu.train.loop import train_network
+
+        return train_network
+    if name == "evaluate_network":
+        from fpsg_tpu.train.loop import evaluate_network
+
+        return evaluate_network
+    raise AttributeError(f"module 'fpsg_tpu' has no attribute {name!r}")
