@@ -179,13 +179,18 @@ def sequential_episode(
     n_query: int = 1,
 ):
     """Deterministic-item episode for sequential eval: the given (cls, item)
-    is the query; support/ad drawn from key (``SequentialBatchSampler``
-    semantics, datasets/utils.py:45-54)."""
+    is the query; support/ad drawn from key.
+
+    Intentional divergence (PARITY.md §5.1): the reference's sequential
+    sampler only selects the CLASS by index — the query is then a random
+    item of that class (datasets/utils.py:45-54 + extract_episode randperm).
+    Here the indexed item itself is the query, so a sequential eval visits
+    every test item exactly once (deterministic, better coverage)."""
     counts = corpus.counts
     m = corpus.images.shape[1]
     c = corpus.images.shape[0]
     k_s, k_ad = jax.random.split(key)
-    del n_query  # one query: the indexed item (reference effective behavior)
+    del n_query  # one query: the indexed item (documented divergence above)
 
     # Support: distinct items of cls, excluding the query item.
     pri = jax.random.uniform(k_s, (m,))

@@ -100,11 +100,15 @@ def prefetched_episodes(
             batch = {
                 k: jax.device_put(v, device) for k, v in batch.items()
             }
-            try:
-                q.put(batch, timeout=1.0)
-            except queue.Full:
-                if stop.is_set():
-                    return
+            # Deliver THIS batch (retry on a full queue) — dropping it and
+            # re-sampling would make the episode sequence depend on consumer
+            # timing, breaking reproducibility and wasting H2D transfers.
+            while not stop.is_set():
+                try:
+                    q.put(batch, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -33,9 +33,13 @@ def read_off(path: str) -> Tuple[np.ndarray, np.ndarray]:
             parts = [int(x) for x in f.readline().split()]
             k = parts[0]
             poly = parts[1: 1 + k]
+            if any(v < 0 or v >= n_verts for v in poly):  # malformed face
+                raise ValueError(
+                    f"face index out of range in OFF file: {path}"
+                )
             for i in range(1, k - 1):  # fan-triangulate
                 faces.append([poly[0], poly[i], poly[i + 1]])
-    return verts, np.asarray(faces, np.int64)
+    return verts, np.asarray(faces, np.int64).reshape(-1, 3)
 
 
 def sample_mesh_surface(

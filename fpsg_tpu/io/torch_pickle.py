@@ -131,17 +131,23 @@ class _Unpickler(pickle.Unpickler):
         self._storage_hook = storage_hook
 
     def find_class(self, module, name):
-        if name == "_rebuild_tensor_v2":
+        # Restricted global table: ONLY the names a torch state-dict pickle
+        # can legitimately reference. Anything else — in particular any
+        # non-torch callable that could execute code on load — is refused,
+        # so loading an untrusted .pt cannot run arbitrary code.
+        if name == "_rebuild_tensor_v2" and module.startswith("torch"):
             return _rebuild_tensor_v2
         if module == "torch" and name.endswith("Storage"):
             return _StorageType(name)
         if (module, name) == ("collections", "OrderedDict"):
             return OrderedDict
-        if name == "_rebuild_parameter":
+        if name == "_rebuild_parameter" and module.startswith("torch"):
             return lambda data, requires_grad, hooks: data
         if module.startswith("torch"):
             return _Stub(module, name)
-        return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"global forbidden by restricted torch reader: {module}.{name}"
+        )
 
     def persistent_load(self, saved_id):
         assert saved_id[0] == "storage", saved_id
@@ -171,13 +177,29 @@ def _load_zip(path: str) -> Any:
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 
+class _PreambleUnpickler(pickle.Unpickler):
+    """For the legacy magic/protocol/sys-info pickles: pure literals only."""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"global forbidden in torch file preamble: {module}.{name}"
+        )
+
+    def persistent_load(self, saved_id):
+        raise pickle.UnpicklingError("persistent id forbidden in preamble")
+
+
+def _load_preamble(f):
+    return _PreambleUnpickler(f, encoding="latin1").load()
+
+
 def _load_legacy(path: str) -> Any:
     with open(path, "rb") as f:
-        magic = pickle.load(f)
+        magic = _load_preamble(f)
         if magic != _LEGACY_MAGIC:
             raise ValueError(f"not a legacy torch file: magic={magic!r}")
-        _protocol = pickle.load(f)
-        _sys_info = pickle.load(f)
+        _protocol = _load_preamble(f)
+        _sys_info = _load_preamble(f)
 
         storages: Dict[str, _LazyStorage] = {}
 
@@ -192,7 +214,7 @@ def _load_legacy(path: str) -> Any:
             return storages[root_key]
 
         obj = _Unpickler(f, hook).load()
-        keys = pickle.load(f)
+        keys = _load_preamble(f)  # plain list of storage-key strings
         for key in keys:
             st = storages[key]
             (numel,) = struct.unpack("<q", f.read(8))
@@ -208,7 +230,7 @@ def is_torch_file(path: str) -> bool:
         return True
     try:
         with open(path, "rb") as f:
-            return pickle.load(f) == _LEGACY_MAGIC
+            return _load_preamble(f) == _LEGACY_MAGIC
     except Exception:
         return False
 

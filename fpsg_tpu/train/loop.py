@@ -212,6 +212,9 @@ def train_network(conf: FPSGConfig) -> TrainState:
 
     e_per_step = conf.episodes_per_step
     steps_per_epoch = max(conf.n_episode // e_per_step, 1)
+    # Episodes actually executed per epoch (== n_episode only when E
+    # divides it); all per-episode normalizations use this count.
+    episodes_per_epoch = steps_per_epoch * e_per_step
     if conf.host_corpus:
         from fpsg_tpu.data.host_pipeline import (
             make_host_train_step, prefetched_episodes,
@@ -284,18 +287,18 @@ def train_network(conf: FPSGConfig) -> TrainState:
                 )
             logger.flush()
             raise
-        timer.tick(conf.n_episode)
+        timer.tick(episodes_per_epoch)
 
         logger.log(
             f"Training Results for Epoch -- {epoch} are: "
-            f"Query_rec: {ttl_q / conf.n_episode}, "
-            f"Support_rec: {ttl_s / conf.n_episode} "
+            f"Query_rec: {ttl_q / episodes_per_epoch}, "
+            f"Support_rec: {ttl_s / episodes_per_epoch} "
             f"[{timer.episodes_per_sec:.2f} episodes/s]"
         )
         logger.metrics({
             "epoch": epoch,
-            "query_rec": ttl_q / conf.n_episode,
-            "support_rec": ttl_s / conf.n_episode,
+            "query_rec": ttl_q / episodes_per_epoch,
+            "support_rec": ttl_s / episodes_per_epoch,
             "episodes_per_sec": timer.episodes_per_sec,
         })
 

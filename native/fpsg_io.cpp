@@ -161,8 +161,10 @@ int fpsg_read_off(const char* path, float* verts, int cap_v, int* faces,
     int k;
     if (!(f >> k)) return -1;
     std::vector<int> poly(k);
-    for (int j = 0; j < k; ++j)
+    for (int j = 0; j < k; ++j) {
       if (!(f >> poly[j])) return -1;
+      if (poly[j] < 0 || poly[j] >= nv) return -1;  // malformed face index
+    }
     for (int j = 1; j < k - 1; ++j) {
       if (out_f >= cap_f) return -2;
       faces[out_f * 3] = poly[0];
@@ -180,6 +182,10 @@ int fpsg_read_off(const char* path, float* verts, int cap_v, int* faces,
 void fpsg_sample_mesh(const float* verts, int n_verts, const int* faces,
                       int n_faces, float* out, int n_points, uint64_t seed) {
   (void)n_verts;
+  if (n_faces <= 0) {  // empty mesh: no faces to sample from
+    std::fill(out, out + static_cast<size_t>(n_points) * 3, 0.0f);
+    return;
+  }
   std::vector<double> cum(n_faces);
   double total = 0;
   for (int i = 0; i < n_faces; ++i) {

@@ -162,3 +162,31 @@ def test_reader_handles_nested_containers(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(ours["tuple"][0]),
                                   np.full((2, 2), 7.0, np.float32))
     assert ours["tuple"][1] is None
+
+
+def test_reader_refuses_arbitrary_globals(tmp_path):
+    """ADVICE r1: loading an untrusted .pt must never execute code — any
+    global outside the torch state-dict whitelist raises UnpicklingError."""
+    import pickle
+    import zipfile
+
+    from fpsg_tpu.io.torch_pickle import load_torch_checkpoint
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("echo pwned",))
+
+    # zip-format torch file carrying a code-executing pickle
+    p = str(tmp_path / "evil.pt")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("evil/data.pkl", pickle.dumps(Evil()))
+    with pytest.raises(pickle.UnpicklingError, match="forbidden"):
+        load_torch_checkpoint(p)
+
+    # legacy-format preamble smuggling a global instead of the magic int
+    p2 = str(tmp_path / "evil_legacy.pt")
+    with open(p2, "wb") as f:
+        f.write(pickle.dumps(Evil()))
+    with pytest.raises(pickle.UnpicklingError, match="forbidden"):
+        load_torch_checkpoint(p2)
