@@ -88,6 +88,9 @@ class FPSGConfig:
     dump_reconstructions: bool = False  # eval: write PNG+npy per episode
                                  # (the reference evaluator's OPTION 2 path,
                                  # evaluate_Network.py:111)
+    seq_eval_chunk: int = 8      # sequential eval: test items per jitted
+                                 # dispatch (chunked vmap; 1 = reference's
+                                 # per-item dispatch behavior)
     finetune_layer: int = -1     # >=0: freeze all but the last N image-branch
                                  # convs (the reference's INTENDED behavior;
                                  # its _set_finetune is never called, so the
@@ -156,6 +159,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--num_pts", type=int, default=d.num_pts)
     p("--compute_dtype", type=str, default=d.compute_dtype,
       choices=["f32", "bf16"])
+    p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")
     p("--host_corpus", action="store_true")

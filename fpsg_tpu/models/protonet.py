@@ -193,13 +193,25 @@ class ImgPCProtoNet(nn.Module):
         return self.loss(sample, train)
 
     def loss(
-        self, sample: Dict[str, jax.Array], train: bool = True
+        self,
+        sample: Dict[str, jax.Array],
+        train: bool = True,
+        template_points: Optional[Dict[str, jax.Array]] = None,
     ) -> Dict[str, Any]:
-        """Training objective (few_shot.py:63-129)."""
+        """Training objective (few_shot.py:63-129).
+
+        ``template_points`` optionally pins the decoder's template samples
+        (dict with 'query' / 'support' arrays of shape (B, C, Nn, P, ori))
+        instead of drawing them from the 'template' RNG stream — used by
+        golden-parity tests that must feed both frameworks identical
+        randomness.
+        """
+        tp = template_points or {}
         img_zad, img_zq, pc_z_ad, proto_mat_q = self._encode(sample, train)
 
         syn_q = self.pc_decoder(
-            jnp.concatenate([img_zq, proto_mat_q], axis=1), train
+            jnp.concatenate([img_zq, proto_mat_q], axis=1), train,
+            tp.get("query"),
         )
         loss_rec_q = self._pc_metric(syn_q, sample["pcq"])
 
@@ -207,7 +219,8 @@ class ImgPCProtoNet(nn.Module):
             # Intra-support reconstruction conditions on per-sample ad
             # features, not the prototype (few_shot.py:112-117).
             syn_s = self.pc_decoder(
-                jnp.concatenate([img_zad, pc_z_ad], axis=1), train
+                jnp.concatenate([img_zad, pc_z_ad], axis=1), train,
+                tp.get("support"),
             )
             loss_rec_s = self._pc_metric(syn_s, sample["pcad"])
         else:

@@ -76,6 +76,56 @@ class _StackedDense(nn.Module):
         return y
 
 
+class _StackedDenseSplitCond(nn.Module):
+    """``node_conv1`` with the conditioning half of the matmul hoisted out
+    of the point dimension.
+
+    The reference tiles the 1536-d conditioning vector across all P points
+    of a node and multiplies the full (1539, d_out) kernel per point
+    (point_cloud_net.py:105-107) — P x redundant FLOPs on channels that are
+    constant over points. By distributivity this is exactly
+
+        y[b,c,n,p] = h[b] @ Wh[c,n]  +  d[b,c,n,p] @ Wd[c,n]  +  bias,
+
+    with Wh/Wd the kernel's conditioning/point row blocks: the conditioning
+    matmul runs ONCE per (b,c,n) instead of once per point (~P x fewer
+    FLOPs on 1536 of 1539 input channels), and the (B,C,Nn,P,1539) concat
+    tensor never exists in HBM. Parameter name/shape/init are identical to
+    ``_StackedDense`` (kernel (C,Nn,d_cond+d_pt,d_out)), so checkpoints and
+    golden tests are unchanged.
+    """
+
+    groups: tuple
+    d_cond: int
+    d_pt: int
+    d_out: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, cond: jax.Array, pts: jax.Array) -> jax.Array:
+        # cond: (B, d_cond); pts: (B, C, Nn, P, d_pt)
+        d_in = self.d_cond + self.d_pt
+        bound = (1.0 / d_in) ** 0.5
+
+        def kinit(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param(
+            "kernel", kinit, (*self.groups, d_in, self.d_out)
+        )
+        bias = self.param("bias", kinit, (*self.groups, self.d_out))
+        dt = self.dtype or pts.dtype
+        kh = kernel[..., : self.d_cond, :].astype(dt)
+        kd = kernel[..., self.d_cond:, :].astype(dt)
+        y_cond = jnp.einsum("be,cnef->bcnf", cond.astype(dt), kh)
+        y_pt = jnp.einsum("bcnpd,cndf->bcnpf", pts.astype(dt), kd)
+        return (
+            y_pt
+            + y_cond[:, :, :, None, :]
+            + bias[None, ..., None, :].astype(dt)
+        )
+
+
 class PrimitiveDecoder(nn.Module):
     """(B, bottleneck) conditioning → (B, num_points, 3) point cloud.
 
@@ -152,14 +202,12 @@ class PrimitiveDecoder(nn.Module):
             ).reshape(b, c, nn_, ppn, self.raw_dim)
         )
 
-        # --- Conditioning: [h ‖ deformed] per point (:105-107) ------------
+        # --- Conditioning: [h ‖ deformed] per point (:105-107), with the
+        # constant-over-points conditioning matmul hoisted out of P (see
+        # _StackedDenseSplitCond — exact by distributivity).
         if self.dtype is not None:
             h = h.astype(self.dtype)
             d = d.astype(self.dtype)
-        cond = jnp.broadcast_to(
-            h[:, None, None, None, :], (b, c, nn_, ppn, h.shape[-1])
-        )
-        x = jnp.concatenate([cond, d], axis=-1)       # (B,C,Nn,P,1539)
 
         # --- Per-node primitive MLPs (PrimitiveNode :66-80) ---------------
         def nbn(name):
@@ -171,7 +219,12 @@ class PrimitiveDecoder(nn.Module):
             )
 
         dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
-        for i in range(3):
+        x = _StackedDenseSplitCond(
+            (c, nn_), h.shape[-1], self.raw_dim, dims[1],
+            dtype=self.dtype, name="node_conv1",
+        )(h, d)
+        x = act(nbn("node_bn1")(x, not train))
+        for i in range(1, 3):
             x = _StackedDense(
                 (c, nn_), dims[i], dims[i + 1], dtype=self.dtype,
                 name=f"node_conv{i + 1}",

@@ -79,22 +79,31 @@ class BatchNorm(nn.Module):
                 shape[a] = s
             return v.reshape(shape)
 
+        # Statistics dtype: at least f32 (f64 under jax_enable_x64 inputs,
+        # so golden-parity tests can compare against torch doubles exactly).
+        stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
         if use_running_average:
-            mean = expand(ra_mean.value)
-            var = expand(ra_var.value)
+            mean = expand(ra_mean.value).astype(stat_dtype)
+            var = expand(ra_var.value).astype(stat_dtype)
         else:
-            xf = x.astype(jnp.float32)
-            # Per-(feature x group) batch statistics.
+            xf = x.astype(stat_dtype)
+            # Per-(feature x group) batch statistics. Two-pass variance:
+            # E[(x-mu)^2], NOT E[x^2]-E[x]^2 — the latter cancels
+            # catastrophically when a channel is near-constant over the
+            # reduce axes (exactly the decoder's tiled-conditioning case),
+            # which is what torch's var_mean avoids.
             mean_g = jnp.mean(xf, axis=reduce_axes, keepdims=True)
-            meansq_g = jnp.mean(xf * xf, axis=reduce_axes, keepdims=True)
             n = 1
             for a in reduce_axes:
                 n *= x.shape[a]
             if self.axis_name is not None:
                 mean_g = jax.lax.pmean(mean_g, self.axis_name)
-                meansq_g = jax.lax.pmean(meansq_g, self.axis_name)
                 n *= jax.lax.psum(1, self.axis_name)
-            var_g = jnp.maximum(meansq_g - mean_g * mean_g, 0.0)
+            centered = xf - mean_g
+            var_g = jnp.mean(centered * centered, axis=reduce_axes,
+                             keepdims=True)
+            if self.axis_name is not None:
+                var_g = jax.lax.pmean(var_g, self.axis_name)
             mean, var = mean_g, var_g
 
             if not self.is_initializing():
@@ -128,9 +137,13 @@ class BatchNorm(nn.Module):
 
                 new_mean, decay = fold(mean_g)
                 new_var, _ = fold(var_g * bessel)
-                ra_mean.value = decay * ra_mean.value + new_mean
-                ra_var.value = decay * ra_var.value + new_var
+                ra_mean.value = (
+                    decay * ra_mean.value + new_mean
+                ).astype(ra_mean.value.dtype)
+                ra_var.value = (
+                    decay * ra_var.value + new_var
+                ).astype(ra_var.value.dtype)
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * expand(scale) + expand(bias)
         return y.astype(self.dtype or x.dtype)

@@ -10,6 +10,21 @@ iterations (numerically stable at small epsilon). The returned value is the
 transport cost ``<P, C>`` (without the entropy term), which converges to true
 EMD as ``eps → 0``.
 
+Convention pinning (PARITY.md §EMD): the default call implements exactly
+
+    C_ij = ||x_i - y_j||^2,  uniform marginals 1/N and 1/M,
+    value = <P*, C> at the eps=0.01 Sinkhorn fixed point (no entropy term),
+    reduce='sum' = sum over the batch,
+
+asserted against an independent numpy Sinkhorn in
+``tests/test_ops_emd.py::test_default_call_matches_numpy_oracle`` and
+against exact assignment (scipy) as eps → 0. The upstream library's source
+is not available in this environment (zero egress; package not installed),
+so its private eps/iteration defaults could not be byte-matched; any fixed
+global rescale or ground-cost change needed to match it is a kwarg
+(``cost='euclidean'``, ``eps=...``) — per-class EMD *comparisons* are
+invariant to such a fixed monotone rescale.
+
 Gradient: envelope theorem — at the Sinkhorn fixed point the derivative of
 the OT cost w.r.t. the cost matrix is the transport plan itself, so we
 ``stop_gradient`` the potentials and differentiate only through ``C``. This

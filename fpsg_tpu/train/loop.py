@@ -374,26 +374,62 @@ def train_network(conf: FPSGConfig) -> TrainState:
     return state
 
 
+def _run_sequential(model, state, corpus, conf, key, with_emd):
+    """Chunked-vmap sequential eval: every test item once as the query, but
+    ``seq_eval_chunk`` items per jitted dispatch instead of one (the
+    reference's per-item loop, evaluate_Network.py:101-118, costs thousands
+    of dispatches on real ModelNet).
+
+    Yields ``(cls, item, out_dict)`` in deterministic (cls, item) order;
+    out has 'cd' (+ 'emd', 'syn' when ``with_emd``), each a numpy scalar /
+    array for that item.
+    """
+    chunk = max(1, int(conf.seq_eval_chunk))
+
+    def one(variables, cps, cls, item, k):
+        sample = sequential_episode(cps, cls, item, k, conf.n_shot)
+        if with_emd:
+            out = model.apply(
+                variables, sample, method=model.reconstruct,
+                rngs={"template": k},
+            )
+            return {"cd": out["cd_loss"], "emd": out["emd_loss"],
+                    "syn": out["syn_pc"]}
+        out = model.apply(variables, sample, False, rngs={"template": k})
+        return {"cd": out["query_rec_loss"]}
+
+    step = jax.jit(jax.vmap(one, in_axes=(None, None, 0, 0, 0)))
+    counts = np.asarray(corpus.counts)
+    pairs = [
+        (c, i) for c in range(len(counts)) for i in range(int(counts[c]))
+    ]
+    for off in range(0, len(pairs), chunk):
+        batch_pairs = pairs[off:off + chunk]
+        # pad the tail chunk to the compiled size; padded outputs dropped
+        padded = batch_pairs + [batch_pairs[-1]] * (chunk - len(batch_pairs))
+        key, sub = jax.random.split(key)
+        ks = jax.random.split(sub, chunk)
+        out = step(
+            state.variables, corpus,
+            jnp.asarray([p[0] for p in padded], jnp.int32),
+            jnp.asarray([p[1] for p in padded], jnp.int32),
+            ks,
+        )
+        out = jax.tree.map(np.asarray, out)
+        for j, (c, i) in enumerate(batch_pairs):
+            yield c, i, jax.tree.map(lambda a: a[j], out)
+
+
 def _sequential_eval_cd(model, state, corpus, conf, key):
     """Deterministic full-test-set CD: every item once as the query
     (SequentialBatchSampler semantics in the trainer's in-loop eval)."""
-    seq_step = jax.jit(
-        lambda st, cps, cls, item, k: model.apply(
-            st.variables,
-            sequential_episode(cps, cls, item, k, conf.n_shot),
-            False,
-            rngs={"template": k},
-        )["query_rec_loss"]
-    )
-    counts = np.asarray(corpus.counts)
     cds, clss = [], []
-    for cls in range(len(counts)):
-        for item in range(int(counts[cls])):
-            key, sub = jax.random.split(key)
-            cds.append(float(seq_step(state, corpus, cls, item, sub)))
-            clss.append(cls)
-    n_query = conf.effective_n_query
-    del n_query  # sequential episodes have exactly one query
+    for cls, _item, out in _run_sequential(
+        model, state, corpus, conf, key, with_emd=False
+    ):
+        cds.append(float(out["cd"]))
+        clss.append(cls)
+    # sequential episodes have exactly one query: no per-query normalization
     return np.asarray(cds), np.asarray(clss)
 
 
@@ -435,35 +471,23 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
     per_class_emd = defaultdict(list)
 
     if conf.sequential_eval:
-        seq_step = jax.jit(
-            lambda st, corpus, cls, item, k: model.apply(
-                st.variables,
-                sequential_episode(corpus, cls, item, k, conf.n_shot),
-                method=model.reconstruct,
-                rngs={"template": k},
-            )
-        )
-        counts = np.asarray(test_corpus.counts)
         tmp_idx = 0
-        for cls in range(len(counts)):
-            if not counts[cls]:
-                continue
-            for item in range(int(counts[cls])):
-                key, sub = jax.random.split(key)
-                out = seq_step(state, test_corpus, cls, item, sub)
-                name = test_corpus.class_names[cls]
-                # sequential episodes have exactly ONE query (the indexed
-                # item), so per-query normalization divides by 1
-                per_class_cd[name].append(float(out["cd_loss"]))
-                per_class_emd[name].append(float(out["emd_loss"]))
-                if conf.dump_reconstructions:
-                    # the reference evaluator's OPTION 2 artifact path
-                    gt = test_corpus.clouds[cls, item][None]
-                    draw_reconstruction(
-                        np.asarray(out["syn_pc"]), np.asarray(gt),
-                        conf.npy_folder, str(tmp_idx), tmp_code=item,
-                    )
-                tmp_idx += 1
+        for cls, item, out in _run_sequential(
+            model, state, test_corpus, conf, key, with_emd=True
+        ):
+            name = test_corpus.class_names[cls]
+            # sequential episodes have exactly ONE query (the indexed
+            # item), so per-query normalization divides by 1
+            per_class_cd[name].append(float(out["cd"]))
+            per_class_emd[name].append(float(out["emd"]))
+            if conf.dump_reconstructions:
+                # the reference evaluator's OPTION 2 artifact path
+                gt = test_corpus.clouds[cls, item][None]
+                draw_reconstruction(
+                    np.asarray(out["syn"]), np.asarray(gt),
+                    conf.npy_folder, str(tmp_idx), tmp_code=item,
+                )
+            tmp_idx += 1
     else:
         eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=True)
         key, sub = jax.random.split(key)

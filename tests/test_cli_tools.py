@@ -80,3 +80,49 @@ def test_flag_surface_defaults_match_reference():
         assert getattr(conf, flag) == want, (flag, getattr(conf, flag), want)
     # n_query == 0 resolves to n_shot, like trainNetwork.py:71
     assert conf.effective_n_query == conf.n_shot
+
+
+# ---------------------------------------------------------------------------
+# phong.py pure helpers (no Blender needed): camera rig, naming, compositor
+# ---------------------------------------------------------------------------
+
+def test_phong_camera_rig_matches_reference():
+    """12 cameras, r=3, theta=60deg polar, 30-deg azimuth steps
+    (reference src/phong.py:24,171-182)."""
+    import math
+
+    from fpsg_tpu.cli.phong import CAMERAS, CAMERA_R, camera_location
+
+    assert CAMERAS == [(60, phi) for phi in range(0, 360, 30)]
+    assert CAMERA_R == 3.0
+    # reference formula: x = r sin(t) cos(p), y = r sin(t) sin(p), z = r cos(t)
+    for theta, phi in CAMERAS:
+        x, y, z = camera_location(theta, phi)
+        t, p = math.radians(theta), math.radians(phi)
+        assert abs(x - 3.0 * math.sin(t) * math.cos(p)) < 1e-12
+        assert abs(y - 3.0 * math.sin(t) * math.sin(p)) < 1e-12
+        assert abs(z - 3.0 * math.cos(t)) < 1e-12
+    # all views share z = 1.5 (60-deg polar at r=3)
+    assert abs(camera_location(60, 123)[2] - 1.5) < 1e-12
+
+
+def test_phong_output_naming_matches_reference():
+    """``<name>.<i>.png`` incl. the stl title-case quirk (phong.py:110-128)."""
+    from fpsg_tpu.cli.phong import model_name_from_path, output_name
+
+    assert output_name("airplane_0001", 7) == "airplane_0001.7.png"
+    assert model_name_from_path("/data/m/airplane_0001.off") == "airplane_0001"
+    assert model_name_from_path("/data/m/night_stand.stl") == "Night Stand"
+
+
+def test_phong_compositor_graph_is_reference_alpha_over():
+    """background image -> scale(RENDER_SIZE) -> alpha-over(render layer)
+    -> output (phong.py:194-218)."""
+    from fpsg_tpu.cli.phong import compositor_graph
+
+    edges = compositor_graph()
+    assert ("image", 0, "scale", 0) in edges
+    assert ("scale", 0, "alpha_over", 1) in edges          # background below
+    assert ("render_layer", 0, "alpha_over", 2) in edges   # render on top
+    assert ("alpha_over", 0, "output", 0) in edges
+    assert len(edges) == 4

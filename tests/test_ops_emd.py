@@ -81,3 +81,54 @@ def test_pallas_matches_oracle_potentials(rng):
     b = sinkhorn_emd(x, y, n_iters=80, impl="pallas")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-3, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Convention pinning (VERDICT r1 item 4): the default call's exact semantics,
+# asserted against an INDEPENDENT numpy implementation. This makes "EMD
+# within 1%" falsifiable: the convention is
+#   cost C_ij = ||x_i - y_j||^2, uniform marginals 1/N and 1/M,
+#   value = <P*, C> at the eps=0.01 Sinkhorn fixed point (no entropy term),
+#   reduce='sum' = sum over the batch (reference src/models/utils.py:12-13).
+# ---------------------------------------------------------------------------
+
+def _emd_sinkhorn_numpy(x, y, eps=0.01, n_iters=3000):
+    """Independent log-domain Sinkhorn (numpy, fixed eps, run to the fixed
+    point). Returns <P, C> with C = squared euclidean, uniform marginals."""
+    from scipy.special import logsumexp
+
+    n, m = len(x), len(y)
+    c = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1).astype(np.float64)
+    log_mu, log_nu = -np.log(n), -np.log(m)
+    f = np.zeros(n)
+    g = np.zeros(m)
+    for _ in range(n_iters):
+        f = -eps * logsumexp((g[None, :] - c) / eps + log_nu, axis=1)
+        g = -eps * logsumexp((f[:, None] - c) / eps + log_mu, axis=0)
+    p = np.exp((f[:, None] + g[None, :] - c) / eps + log_mu + log_nu)
+    return float((p * c).sum())
+
+
+def test_default_call_matches_numpy_oracle(rng):
+    """Default sinkhorn_emd (eps=0.01, annealed) == independent fixed-eps
+    numpy Sinkhorn at the same fixed point, both cloud-size regimes."""
+    for n, m in [(32, 32), (48, 32)]:
+        x = rng.standard_normal((n, 3)).astype(np.float32) * 0.4
+        y = rng.standard_normal((m, 3)).astype(np.float32) * 0.4
+        ours = float(
+            sinkhorn_emd(jnp.array(x)[None], jnp.array(y)[None],
+                         n_iters=400)[0]
+        )
+        ref = _emd_sinkhorn_numpy(x, y, eps=0.01)
+        np.testing.assert_allclose(ours, ref, rtol=2e-3,
+                                   err_msg=f"(n={n}, m={m})")
+
+
+def test_emd_wrapper_is_sum_reduced_default(rng):
+    """emd_wrapper == sinkhorn_emd(reduce='sum') at default settings — the
+    drop-in for emd_loss(..., reduce='sum', sinkhorn=True)."""
+    x = jnp.array(rng.standard_normal((3, 32, 3)).astype(np.float32) * 0.4)
+    y = jnp.array(rng.standard_normal((3, 32, 3)).astype(np.float32) * 0.4)
+    w = float(emd_wrapper(x, y))
+    per = sinkhorn_emd(x, y)
+    np.testing.assert_allclose(w, float(jnp.sum(per)), rtol=1e-6)
