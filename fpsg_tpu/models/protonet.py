@@ -52,12 +52,14 @@ class PCEncoder(nn.Module):
     core: str = "pointnet"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.core == "pointnet":
             return PointNetEncoder(
-                axis_name=self.axis_name, dtype=self.dtype, name="pc_encoder"
+                axis_name=self.axis_name, dtype=self.dtype,
+                precise_stats=self.precise_stats, name="pc_encoder"
             )(x, train)
         if self.core == "dgcnn":
             return DGCNNFeat(axis_name=self.axis_name, dtype=self.dtype,
@@ -87,6 +89,11 @@ class ImgPCProtoNet(nn.Module):
     aggregate: str = "single"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    precise_stats: bool = False  # two-pass BN variance everywhere: exact
+                                 # reference-trajectory stats (the parity
+                                 # tests run in this mode); default is the
+                                 # single-read shifted form — ~1e-7 stat
+                                 # drift, measurably faster (BASELINE.md)
     remat: bool = False  # rematerialize encoder/decoder activations in the
                          # backward pass (HBM traffic ↔ recompute trade)
 
@@ -118,11 +125,13 @@ class ImgPCProtoNet(nn.Module):
             if self.remat else PrimitiveDecoder
         self.img_encoder = img_cls(
             backbone=self.img_backbone, axis_name=self.axis_name,
-            dtype=self.dtype, name="img_encoder",
+            dtype=self.dtype, precise_stats=self.precise_stats,
+            name="img_encoder",
         )
         self.pc_encoder = PCEncoder(
             core=self.pc_backbone, axis_name=self.axis_name,
-            dtype=self.dtype, name="pc_encoder_wrap",
+            dtype=self.dtype, precise_stats=self.precise_stats,
+            name="pc_encoder_wrap",
         )
         if self.aggregate == "mask_single":
             from fpsg_tpu.models.support import FCMaskAllocater
@@ -145,6 +154,7 @@ class ImgPCProtoNet(nn.Module):
             activation=self.activation,
             axis_name=self.axis_name,
             dtype=self.dtype,
+            precise_stats=self.precise_stats,
             name="pc_decoder",
         )
 

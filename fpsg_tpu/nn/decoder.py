@@ -48,10 +48,12 @@ class _StackedDense(nn.Module):
     d_in: int
     d_out: int
     use_bias: bool = True
+    fold_bias: bool = False  # return (y, bias) for BN folding instead of
+                             # adding bias (normalization.py docstring)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array):
         # x: (B, *groups, P, d_in)
         bound = (1.0 / self.d_in) ** 0.5
 
@@ -70,10 +72,12 @@ class _StackedDense(nn.Module):
             y = jnp.einsum("bcnpd,cnde->bcnpe", x, kernel)
         else:
             raise ValueError("1 or 2 group axes supported")
-        if self.use_bias:
-            bias = self.param("bias", kinit, (*self.groups, self.d_out))
-            y = y + bias[None, ..., None, :].astype(dt)
-        return y
+        if not self.use_bias:
+            return y
+        bias = self.param("bias", kinit, (*self.groups, self.d_out))
+        if self.fold_bias:
+            return y, bias
+        return y + bias[None, ..., None, :].astype(dt)
 
 
 class _StackedDenseSplitCond(nn.Module):
@@ -119,11 +123,10 @@ class _StackedDenseSplitCond(nn.Module):
         kd = kernel[..., self.d_cond:, :].astype(dt)
         y_cond = jnp.einsum("be,cnef->bcnf", cond.astype(dt), kh)
         y_pt = jnp.einsum("bcnpd,cndf->bcnpf", pts.astype(dt), kd)
-        return (
-            y_pt
-            + y_cond[:, :, :, None, :]
-            + bias[None, ..., None, :].astype(dt)
-        )
+        # Bias is returned for BN folding (it is constant over the BN's
+        # reduce axes; y_cond is NOT — it varies over B — so it stays a
+        # tensor add, fused into the einsum epilogue).
+        return y_pt + y_cond[:, :, :, None, :], bias
 
 
 class PrimitiveDecoder(nn.Module):
@@ -144,6 +147,7 @@ class PrimitiveDecoder(nn.Module):
     deformer_width: int = 128  # MLPDeformer layer_size (point_cloud_net.py:40)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False  # two-pass BN variance everywhere
 
     @nn.compact
     def __call__(
@@ -180,21 +184,24 @@ class PrimitiveDecoder(nn.Module):
                 group_axes=(2,),
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                two_pass=self.precise_stats,
                 name=name,
             )
 
         if self.dtype is not None:
             raw = raw.astype(self.dtype)
-        d = _StackedDense((c,), self.ori_dim, w, dtype=self.dtype,
-                          name="deformer_conv1")(
+        d, b1 = _StackedDense((c,), self.ori_dim, w, fold_bias=True,
+                              dtype=self.dtype, name="deformer_conv1")(
             raw.reshape(b, c, nn_ * ppn, self.ori_dim)
-        ).reshape(b, c, nn_, ppn, w)
-        d = act(dbn("deformer_bn1")(d, not train))
-        d = _StackedDense((c,), w, w, dtype=self.dtype,
-                          name="deformer_conv2")(
+        )
+        d = d.reshape(b, c, nn_, ppn, w)
+        d = act(dbn("deformer_bn1")(d, not train, shift=b1))
+        d, b2 = _StackedDense((c,), w, w, fold_bias=True, dtype=self.dtype,
+                              name="deformer_conv2")(
             d.reshape(b, c, nn_ * ppn, w)
-        ).reshape(b, c, nn_, ppn, w)
-        d = act(dbn("deformer_bn2")(d, not train))
+        )
+        d = d.reshape(b, c, nn_, ppn, w)
+        d = act(dbn("deformer_bn2")(d, not train, shift=b2))
         d = jnp.tanh(
             _StackedDense((c,), w, self.raw_dim, dtype=self.dtype,
                           name="deformer_conv3")(
@@ -210,26 +217,33 @@ class PrimitiveDecoder(nn.Module):
             d = d.astype(self.dtype)
 
         # --- Per-node primitive MLPs (PrimitiveNode :66-80) ---------------
-        def nbn(name):
+        # node_bn1 keeps the two-pass variance: at B=1 (query decode) the
+        # conditioning matmul makes channels near-constant over the reduce
+        # axes at a large offset — the one-pass form cancels there
+        # (DESIGN.md §8). bn2/bn3 see post-ReLU activations (mean ~ std)
+        # where the single-read shifted form is accurate.
+        def nbn(name, two_pass):
             return BatchNorm(
                 feature_axes=(1, 2, -1),
                 axis_name=self.axis_name,
                 dtype=self.dtype,
+                two_pass=two_pass,
                 name=name,
             )
 
         dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
-        x = _StackedDenseSplitCond(
+        x, nb1 = _StackedDenseSplitCond(
             (c, nn_), h.shape[-1], self.raw_dim, dims[1],
             dtype=self.dtype, name="node_conv1",
         )(h, d)
-        x = act(nbn("node_bn1")(x, not train))
+        x = act(nbn("node_bn1", True)(x, not train, shift=nb1))
         for i in range(1, 3):
-            x = _StackedDense(
-                (c, nn_), dims[i], dims[i + 1], dtype=self.dtype,
-                name=f"node_conv{i + 1}",
+            x, nb = _StackedDense(
+                (c, nn_), dims[i], dims[i + 1], fold_bias=True,
+                dtype=self.dtype, name=f"node_conv{i + 1}",
             )(x)
-            x = act(nbn(f"node_bn{i + 1}")(x, not train))
+            x = act(nbn(f"node_bn{i + 1}", self.precise_stats)(
+                x, not train, shift=nb))
         x = jnp.tanh(
             _StackedDense((c, nn_), dims[3], dims[4], dtype=self.dtype,
                           name="node_conv4")(x)

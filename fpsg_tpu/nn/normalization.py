@@ -14,6 +14,28 @@ Why not ``flax.linen.BatchNorm``: parity with the reference requires
     estimate updated sequentially, and
 (d) ``pmean`` over a data-parallel mesh axis so sharded episodes reproduce
     single-device statistics (SURVEY.md §2.6 item 2).
+
+Two TPU-bandwidth optimizations (both exact in expectation, measured on the
+step trace — BASELINE.md round 2):
+
+- **Folded preceding-layer bias** (``shift=``): a Conv/Dense bias feeding
+  straight into BN is algebraically absorbed — it cancels out of the
+  train-mode normalization (``x + b - mean(x + b) == x - mean(x)``), only
+  offsets the *running-mean update*, and at eval folds into the per-channel
+  affine. Passing the bias here instead of adding it to the activation
+  removes one full read+write pass over the tensor per layer (and the bias
+  gradient, which is analytically zero under BN, is exactly zero instead of
+  rounding noise — torch's Adam random-walks conv biases on ~1e-10 noise
+  gradients; ours freezes them; divergence documented in PARITY.md).
+- **Single-read shifted variance** (``two_pass=False``): variance via
+  ``E[(x - s)^2] - (E[x] - s)^2`` with ``s = running_mean - shift`` (a
+  constant), so mean and variance come from ONE pass over the activation.
+  Because ``s`` tracks the batch mean (and bias-folded conv outputs are
+  ~zero-mean at init), the cancellation term ``(E[x]-s)^2`` stays tiny and
+  accuracy matches the two-pass form; the result is clamped at 0. Keep
+  ``two_pass=True`` where a channel can be near-constant at a large offset
+  the running mean hasn't tracked yet (the decoder's B=1 conditioning
+  pathology, DESIGN.md §8).
 """
 
 from __future__ import annotations
@@ -43,6 +65,9 @@ class BatchNorm(nn.Module):
         in index order.
       momentum: torch convention — fraction of the new batch statistic.
       axis_name: optional mesh axis for cross-replica statistics.
+      two_pass: True computes variance as ``E[(x-mu)^2]`` (a second read of
+        the activation); False uses the single-read shifted form (module
+        docstring) — the default for large-activation call sites.
     """
 
     feature_axes: Tuple[int, ...] = (-1,)
@@ -51,9 +76,19 @@ class BatchNorm(nn.Module):
     epsilon: float = 1e-5
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    two_pass: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, use_running_average: bool) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        use_running_average: bool,
+        shift: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """``shift``: per-feature bias of the preceding layer, folded in
+        (shape ``param_shape`` or broadcastable to it). The module behaves
+        exactly as if it had received ``x + expand(shift)``, without the
+        full-tensor add ever happening."""
         ndim = x.ndim
         f_axes = _canon(self.feature_axes, ndim)
         g_axes = _canon(self.group_axes, ndim)
@@ -82,16 +117,21 @@ class BatchNorm(nn.Module):
         # Statistics dtype: at least f32 (f64 under jax_enable_x64 inputs,
         # so golden-parity tests can compare against torch doubles exactly).
         stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+        shift_e = None
+        if shift is not None:
+            shift_e = expand(
+                jnp.broadcast_to(shift, param_shape)
+            ).astype(stat_dtype)
         if use_running_average:
             mean = expand(ra_mean.value).astype(stat_dtype)
+            if shift_e is not None:
+                # Running mean was accumulated WITH the folded bias; the
+                # input here is the bias-less activation.
+                mean = mean - shift_e
             var = expand(ra_var.value).astype(stat_dtype)
         else:
             xf = x.astype(stat_dtype)
-            # Per-(feature x group) batch statistics. Two-pass variance:
-            # E[(x-mu)^2], NOT E[x^2]-E[x]^2 — the latter cancels
-            # catastrophically when a channel is near-constant over the
-            # reduce axes (exactly the decoder's tiled-conditioning case),
-            # which is what torch's var_mean avoids.
+            # Per-(feature x group) batch statistics.
             mean_g = jnp.mean(xf, axis=reduce_axes, keepdims=True)
             n = 1
             for a in reduce_axes:
@@ -99,11 +139,29 @@ class BatchNorm(nn.Module):
             if self.axis_name is not None:
                 mean_g = jax.lax.pmean(mean_g, self.axis_name)
                 n *= jax.lax.psum(1, self.axis_name)
-            centered = xf - mean_g
-            var_g = jnp.mean(centered * centered, axis=reduce_axes,
-                             keepdims=True)
-            if self.axis_name is not None:
-                var_g = jax.lax.pmean(var_g, self.axis_name)
+            if self.two_pass:
+                # E[(x-mu)^2]: robust even for near-constant channels at a
+                # large offset (the naive E[x^2]-E[x]^2 cancels
+                # catastrophically there), at the cost of re-reading x.
+                centered = xf - mean_g
+                var_g = jnp.mean(centered * centered, axis=reduce_axes,
+                                 keepdims=True)
+                if self.axis_name is not None:
+                    var_g = jax.lax.pmean(var_g, self.axis_name)
+            else:
+                # Single-read shifted variance (module docstring): both
+                # statistics from one pass over x; s tracks the batch mean
+                # so the subtraction below doesn't cancel.
+                s = expand(ra_mean.value).astype(stat_dtype)
+                if shift_e is not None:
+                    s = s - shift_e
+                s = jax.lax.stop_gradient(s)
+                d = xf - s
+                sq_g = jnp.mean(d * d, axis=reduce_axes, keepdims=True)
+                if self.axis_name is not None:
+                    sq_g = jax.lax.pmean(sq_g, self.axis_name)
+                delta = mean_g - s
+                var_g = jnp.maximum(sq_g - delta * delta, 0.0)
             mean, var = mean_g, var_g
 
             if not self.is_initializing():
@@ -135,7 +193,9 @@ class BatchNorm(nn.Module):
                     folded = jnp.tensordot(w, s, axes=(0, 0))
                     return folded, (1.0 - m) ** n_groups
 
-                new_mean, decay = fold(mean_g)
+                new_mean, decay = fold(
+                    mean_g if shift_e is None else mean_g + shift_e
+                )
                 new_var, _ = fold(var_g * bessel)
                 ra_mean.value = (
                     decay * ra_mean.value + new_mean

@@ -38,25 +38,53 @@ def _dense(features: int, fan_in: int, name: str, dtype=None) -> nn.Dense:
     )
 
 
+class _DenseFold(nn.Module):
+    """Dense whose bias is returned, not applied — it folds into the
+    following BatchNorm (fpsg_tpu.nn.normalization docstring), saving a
+    full elementwise pass. Params identical to ``nn.Dense``."""
+
+    features: int
+    fan_in: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        kernel = self.param("kernel", torch_linear_kernel_init,
+                            (x.shape[-1], self.features))
+        bias = self.param("bias", make_torch_bias_init(self.fan_in),
+                          (self.features,))
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        return jnp.dot(x.astype(dt), kernel.astype(dt)), bias
+
+
+def _dense_fold(features: int, fan_in: int, name: str, dtype=None):
+    return _DenseFold(features, fan_in, dtype=dtype, name=name)
+
+
 class STN3d(nn.Module):
     """Spatial transformer predicting a 3x3 alignment (model.py:11-45)."""
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         # x: (B, N, 3)
         dt = self.dtype
         bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
-                                    name=name)
-        h = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1", dt)(x), not train))
-        h = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2", dt)(h), not train))
-        h = jax.nn.relu(bn("bn3")(_dense(1024, 128, "conv3", dt)(h),
-                                  not train))
+                                    two_pass=self.precise_stats, name=name)
+
+        def block(h, feats, fan_in, conv, bnn):
+            y, b = _dense_fold(feats, fan_in, conv, dt)(h)
+            return jax.nn.relu(bn(bnn)(y, not train, shift=b))
+
+        h = block(x, 64, 3, "conv1", "bn1")
+        h = block(h, 128, 64, "conv2", "bn2")
+        h = block(h, 1024, 128, "conv3", "bn3")
         h = jnp.max(h, axis=1)                                  # (B, 1024)
-        h = jax.nn.relu(bn("bn4")(_dense(512, 1024, "fc1", dt)(h), not train))
-        h = jax.nn.relu(bn("bn5")(_dense(256, 512, "fc2", dt)(h), not train))
+        h = block(h, 512, 1024, "fc1", "bn4")
+        h = block(h, 256, 512, "fc2", "bn5")
         h = _dense(9, 256, "fc3", dt)(h).astype(jnp.float32)
         iden = jnp.eye(3, dtype=h.dtype).reshape(9)
         return (h + iden).reshape(-1, 3, 3)
@@ -67,16 +95,23 @@ class STNkd(nn.Module):
 
     k: int = 64
     axis_name: Optional[str] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        bn = lambda name: BatchNorm(axis_name=self.axis_name, name=name)
-        h = jax.nn.relu(bn("bn1")(_dense(64, self.k, "conv1")(x), not train))
-        h = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2")(h), not train))
-        h = jax.nn.relu(bn("bn3")(_dense(1024, 128, "conv3")(h), not train))
+        bn = lambda name: BatchNorm(axis_name=self.axis_name,
+                                    two_pass=self.precise_stats, name=name)
+
+        def block(h, feats, fan_in, conv, bnn):
+            y, b = _dense_fold(feats, fan_in, conv)(h)
+            return jax.nn.relu(bn(bnn)(y, not train, shift=b))
+
+        h = block(x, 64, self.k, "conv1", "bn1")
+        h = block(h, 128, 64, "conv2", "bn2")
+        h = block(h, 1024, 128, "conv3", "bn3")
         h = jnp.max(h, axis=1)
-        h = jax.nn.relu(bn("bn4")(_dense(512, 1024, "fc1")(h), not train))
-        h = jax.nn.relu(bn("bn5")(_dense(256, 512, "fc2")(h), not train))
+        h = block(h, 512, 1024, "fc1", "bn4")
+        h = block(h, 256, 512, "fc2", "bn5")
         h = _dense(self.k * self.k, 256, "fc3")(h)
         iden = jnp.eye(self.k, dtype=h.dtype).reshape(self.k * self.k)
         return (h + iden).reshape(-1, self.k, self.k)
@@ -93,6 +128,7 @@ class PointNetFeat(nn.Module):
     feature_transform: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
@@ -100,13 +136,17 @@ class PointNetFeat(nn.Module):
         n_pts = x.shape[1]
         dt = self.dtype
         bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
-                                    name=name)
-        trans = STN3d(axis_name=self.axis_name, dtype=dt, name="stn")(x, train)
+                                    two_pass=self.precise_stats, name=name)
+        trans = STN3d(axis_name=self.axis_name, dtype=dt,
+                      precise_stats=self.precise_stats, name="stn")(x, train)
         x = jnp.einsum("bnd,bde->bne", x.astype(jnp.float32), trans)
-        x = jax.nn.relu(bn("bn1")(_dense(64, 3, "conv1", dt)(x), not train))
+        y, b = _dense_fold(64, 3, "conv1", dt)(x)
+        x = jax.nn.relu(bn("bn1")(y, not train, shift=b))
 
         if self.feature_transform:
-            trans_feat = STNkd(k=64, axis_name=self.axis_name, name="fstn")(
+            trans_feat = STNkd(k=64, axis_name=self.axis_name,
+                               precise_stats=self.precise_stats,
+                               name="fstn")(
                 x.astype(jnp.float32), train
             )
             x = jnp.einsum(
@@ -116,8 +156,10 @@ class PointNetFeat(nn.Module):
             trans_feat = None
 
         point_feat = x
-        x = jax.nn.relu(bn("bn2")(_dense(128, 64, "conv2", dt)(x), not train))
-        x = bn("bn3")(_dense(1024, 128, "conv3", dt)(x), not train)
+        y, b = _dense_fold(128, 64, "conv2", dt)(x)
+        x = jax.nn.relu(bn("bn2")(y, not train, shift=b))
+        y, b = _dense_fold(1024, 128, "conv3", dt)(x)
+        x = bn("bn3")(y, not train, shift=b)
         x = jnp.max(x, axis=1).astype(jnp.float32)             # (B, 1024)
         if self.global_feat:
             return x, trans, trans_feat
@@ -136,11 +178,13 @@ class PointNetEncoder(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         feat, _, _ = PointNetFeat(
             axis_name=self.axis_name, dtype=self.dtype,
+            precise_stats=self.precise_stats,
             name="pointnet_feat_extractor",
         )(x, train)
         return feat

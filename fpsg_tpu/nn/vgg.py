@@ -43,6 +43,79 @@ def _conv_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class _ConvFold(nn.Module):
+    """3x3 same-padding conv whose bias is returned, NOT applied — it folds
+    into the following BatchNorm (see fpsg_tpu.nn.normalization docstring),
+    saving one full read+write pass over the activation per layer. Param
+    names/shapes/inits are identical to ``nn.Conv`` so checkpoint maps and
+    golden tests are unchanged."""
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", _conv_init,
+                            (3, 3, in_ch, self.features))
+        bound = (1.0 / (9 * in_ch)) ** 0.5
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (self.features,),
+        )
+        dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y, bias
+
+
+def _window_slices(x):
+    """The four 2x2-window elements as quarter-size slices, in torch's
+    row-major scan order (dh, dw)."""
+    b, h, w, c = x.shape
+    x6 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return [x6[:, :, i, :, j, :] for i in (0, 1) for j in (0, 1)]
+
+
+@jax.custom_vjp
+def _maxpool_2x2(x: jax.Array) -> jax.Array:
+    """2x2/2 max pool. Identical forward to ``nn.max_pool``; the custom
+    backward routes the cotangent by a 2-bit argmax saved at forward time
+    (torch's tie rule: FIRST maximal element in row-major window order) —
+    one fused pass over g+idx, never re-reading x, vs XLA's slow
+    select-and-scatter (2.5 ms/step) or eq-mask recompute (7.5 ms/step,
+    both measured on the step trace)."""
+    b, h, w, c = x.shape
+    return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
+
+
+def _maxpool_2x2_fwd(x):
+    e = _window_slices(x)
+    y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
+    idx = jnp.where(
+        e[0] == y, jnp.int8(0),
+        jnp.where(e[1] == y, jnp.int8(1),
+                  jnp.where(e[2] == y, jnp.int8(2), jnp.int8(3))),
+    )
+    return y, idx
+
+
+def _maxpool_2x2_bwd(idx, g):
+    b, h2, w2, c = idx.shape
+    quads = [jnp.where(idx == k, g, 0).astype(g.dtype) for k in range(4)]
+    row0 = jnp.stack([quads[0], quads[1]], axis=3)   # (b,h2,w2,dw,c)
+    row1 = jnp.stack([quads[2], quads[3]], axis=3)
+    gx = jnp.stack([row0, row1], axis=2).reshape(b, 2 * h2, 2 * w2, c)
+    return (gx,)
+
+
+_maxpool_2x2.defvjp(_maxpool_2x2_fwd, _maxpool_2x2_bwd)
+
+
 class VGG16BN(nn.Module):
     """VGG16-bn feature extractor: (B, 224, 224, 3) → (B, 512).
 
@@ -52,6 +125,8 @@ class VGG16BN(nn.Module):
 
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False  # two-pass BN variance everywhere (exact
+                                 # torch-trajectory parity; ~5% slower)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -60,26 +135,14 @@ class VGG16BN(nn.Module):
         idx = 0
         for v in VGG16_CFG:
             if v == "M":
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = _maxpool_2x2(x)
                 idx += 1
                 continue
-            fan_in = 9 * x.shape[-1]
-            x = nn.Conv(
-                int(v),
-                (3, 3),
-                padding=1,
-                dtype=self.dtype,
-                kernel_init=_conv_init,
-                bias_init=lambda key, shape, dtype=jnp.float32, _f=fan_in: (
-                    jax.random.uniform(
-                        key, shape, dtype,
-                        -(1.0 / _f) ** 0.5, (1.0 / _f) ** 0.5,
-                    )
-                ),
-                name=f"features_{idx}",
-            )(x)
+            y, b = _ConvFold(int(v), dtype=self.dtype,
+                             name=f"features_{idx}")(x)
             x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                          name=f"features_{idx + 1}")(x, not train)
+                          two_pass=self.precise_stats,
+                          name=f"features_{idx + 1}")(y, not train, shift=b)
             x = jax.nn.relu(x)
             idx += 3  # conv, bn, relu
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
@@ -110,11 +173,13 @@ class ImageEncoder(nn.Module):
     backbone: str = "vgg_16"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.backbone == "vgg_16":
             return VGG16BN(axis_name=self.axis_name, dtype=self.dtype,
+                           precise_stats=self.precise_stats,
                            name="encoder")(x, train)
         if self.backbone == "tiny":
             return TinyImageEncoder(axis_name=self.axis_name, name="encoder")(

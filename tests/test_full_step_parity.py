@@ -218,10 +218,15 @@ def episode():
 @pytest.fixture(scope="module")
 def models(episode):
     sample, raw_q, raw_s = episode
+    # precise_stats: two-pass BN variance — the exact-semantics mode the
+    # tight gradient assertions run against (the default single-read stat
+    # mode drifts ~1e-7 in the statistics, which relu-boundary flips
+    # amplify to ~1e-3-of-max gradient noise over the 13-conv chain; it is
+    # covered by the loss-level test below).
     model = ImgPCProtoNet(
         img_backbone="vgg_16", pc_backbone="pointnet",
         num_clusters=C, num_nodes=NN_, num_points=NPTS,
-        bottleneck_size=BOTT, intra_support=True,
+        bottleneck_size=BOTT, intra_support=True, precise_stats=True,
     )
     jb = {k: jnp.asarray(v) for k, v in sample.items()}
     variables = model.init(
@@ -320,3 +325,62 @@ def test_full_step_loss_and_grads_match_torch(episode, models):
         float(out_eval["query_rec_loss"]), float(loss_qe), rtol=1e-5)
     np.testing.assert_allclose(
         float(out_eval["support_rec_loss"]), float(loss_se), rtol=1e-5)
+
+
+def test_fast_stats_mode_matches_torch_losses(episode, models):
+    """The production default (single-read shifted BN variance,
+    precise_stats=False) must still reproduce the torch losses: train-mode
+    to ~1e-4 (statistics differ by ~1e-7 rounding) and eval-mode (running
+    stats accumulated in fast mode) to 1e-3."""
+    import copy
+
+    sample, raw_q, raw_s = episode
+    _, variables, tm_vgg, tm_pn, deformers, nodes = models
+    # The module-scoped torch replicas carry running stats mutated by the
+    # precise-mode test; copy them and reset to the fresh-init stats the
+    # flax side starts from.
+    tm_vgg, tm_pn, deformers, nodes = (
+        copy.deepcopy(tm_vgg), copy.deepcopy(tm_pn),
+        copy.deepcopy(deformers), copy.deepcopy(nodes))
+
+    def _reset(m):
+        if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
+            m.reset_running_stats()
+
+    tm_vgg.apply(_reset)
+    tm_pn.apply(_reset)
+    for dl in deformers:
+        for m in dl.values():
+            m.apply(_reset)
+    for cl in nodes:
+        for nl in cl:
+            for m in nl.values():
+                m.apply(_reset)
+
+    model = ImgPCProtoNet(
+        img_backbone="vgg_16", pc_backbone="pointnet",
+        num_clusters=C, num_nodes=NN_, num_points=NPTS,
+        bottleneck_size=BOTT, intra_support=True, precise_stats=False,
+    )
+    jb = {k: jnp.asarray(v) for k, v in sample.items()}
+    tp = {"query": jnp.asarray(raw_q), "support": jnp.asarray(raw_s)}
+    out, mut = model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+        jb, True, tp, method="loss", mutable=["batch_stats"],
+    )
+    ttl_t, loss_q_t, loss_s_t = run_torch_loss(
+        tm_vgg, tm_pn, deformers, nodes, sample, raw_q, raw_s, train=True)
+    np.testing.assert_allclose(
+        float(out["ttl_loss"]), float(ttl_t.detach()), rtol=3e-4)
+    out_eval = model.apply(
+        {"params": variables["params"],
+         "batch_stats": mut["batch_stats"]},
+        jb, False, tp, method="loss",
+    )
+    with torch.no_grad():
+        ttl_te, _, _ = run_torch_loss(
+            tm_vgg, tm_pn, deformers, nodes, sample, raw_q, raw_s,
+            train=False)
+    np.testing.assert_allclose(
+        float(out_eval["ttl_loss"]), float(ttl_te), rtol=1e-3)
