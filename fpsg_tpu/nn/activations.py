@@ -7,8 +7,33 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def relu(x: jax.Array) -> jax.Array:
+    """ReLU whose VJP reads the OUTPUT instead of the input.
+
+    ``d relu/dx = [y > 0]`` is identical to torch's ``[x > 0]`` convention
+    (at x == 0 both give 0), but saving y instead of x lets XLA fuse the
+    producer chain (BatchNorm normalize + relu) into one pass — the
+    pre-activation tensor never needs to be materialized for the backward
+    (measured ~2 ms/step of separate relu passes in the VGG trace).
+    """
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = jnp.maximum(x, 0)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    return (jnp.where(y > 0, g, jnp.zeros((), g.dtype)),)
+
+
+relu.defvjp(_relu_fwd, _relu_bwd)
+
+
 _ACTIVATIONS = {
-    "relu": jax.nn.relu,
+    "relu": relu,
     "sigmoid": jax.nn.sigmoid,
     "softplus": jax.nn.softplus,
     "logsigmoid": jax.nn.log_sigmoid,

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from fpsg_tpu.nn._init import torch_linear_kernel_init, make_torch_bias_init
+from fpsg_tpu.nn.activations import relu
 from fpsg_tpu.nn.normalization import BatchNorm
 
 
@@ -77,7 +78,7 @@ class STN3d(nn.Module):
 
         def block(h, feats, fan_in, conv, bnn):
             y, b = _dense_fold(feats, fan_in, conv, dt)(h)
-            return jax.nn.relu(bn(bnn)(y, not train, shift=b))
+            return relu(bn(bnn)(y, not train, shift=b))
 
         h = block(x, 64, 3, "conv1", "bn1")
         h = block(h, 128, 64, "conv2", "bn2")
@@ -104,7 +105,7 @@ class STNkd(nn.Module):
 
         def block(h, feats, fan_in, conv, bnn):
             y, b = _dense_fold(feats, fan_in, conv)(h)
-            return jax.nn.relu(bn(bnn)(y, not train, shift=b))
+            return relu(bn(bnn)(y, not train, shift=b))
 
         h = block(x, 64, self.k, "conv1", "bn1")
         h = block(h, 128, 64, "conv2", "bn2")
@@ -141,7 +142,7 @@ class PointNetFeat(nn.Module):
                       precise_stats=self.precise_stats, name="stn")(x, train)
         x = jnp.einsum("bnd,bde->bne", x.astype(jnp.float32), trans)
         y, b = _dense_fold(64, 3, "conv1", dt)(x)
-        x = jax.nn.relu(bn("bn1")(y, not train, shift=b))
+        x = relu(bn("bn1")(y, not train, shift=b))
 
         if self.feature_transform:
             trans_feat = STNkd(k=64, axis_name=self.axis_name,
@@ -157,7 +158,7 @@ class PointNetFeat(nn.Module):
 
         point_feat = x
         y, b = _dense_fold(128, 64, "conv2", dt)(x)
-        x = jax.nn.relu(bn("bn2")(y, not train, shift=b))
+        x = relu(bn("bn2")(y, not train, shift=b))
         y, b = _dense_fold(1024, 128, "conv3", dt)(x)
         x = bn("bn3")(y, not train, shift=b)
         x = jnp.max(x, axis=1).astype(jnp.float32)             # (B, 1024)

@@ -41,10 +41,33 @@ _BIG = 1e30  # python float: jnp constants would be captured tracers in pallas
 # Oracle nearest neighbor
 # ---------------------------------------------------------------------------
 
+def _first_min_index(d: jax.Array, dmin: jax.Array, axis: int) -> jax.Array:
+    """First index attaining the minimum along ``axis`` — argmin semantics
+    via two PLAIN reduces (min + masked-iota min) instead of XLA's variadic
+    (value, index) reduce, which runs ~3x slower on TPU (measured: the
+    tuple-shaped reduce fusions in BASELINE.md's step trace)."""
+    size = d.shape[axis]
+    j = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis % d.ndim)
+    masked = jnp.where(d == jnp.expand_dims(dmin, axis), j, size)
+    return jnp.min(masked, axis=axis).astype(jnp.int32)
+
+
 def _nn_oracle(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-point nearest squared distance and index: (B,N), (B,N) int32."""
     d = pairwise_sqdist(x, y)
-    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+    dmin = jnp.min(d, axis=-1)
+    return dmin, _first_min_index(d, dmin, -1)
+
+
+def _nn_oracle_both(x: jax.Array, y: jax.Array):
+    """Both directions from ONE distance matrix (the separate-call form
+    materializes and reduces the (N, M) matrix twice)."""
+    d = pairwise_sqdist(x, y)
+    dxy = jnp.min(d, axis=-1)
+    ixy = _first_min_index(d, dxy, -1)
+    dyx = jnp.min(d, axis=-2)
+    iyx = _first_min_index(d, dyx, -2)
+    return dxy, ixy, dyx, iyx
 
 
 # ---------------------------------------------------------------------------
@@ -73,10 +96,18 @@ def _nn_kernel(x_ref, y_ref, minx_ref, argx_ref, miny_ref, argy_ref):
     )                                                        # (TN, M)
     d = jnp.maximum(x_sq - 2.0 * cross + y_sq.T, 0.0)
 
-    # Row direction: complete within this tile.
+    # Row direction: complete within this tile. First-index argmin via two
+    # plain reduces (min + masked-iota min) — the VPU runs these far faster
+    # than a variadic (value, index) reduction.
+    m = d.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    row_min = jnp.min(d, axis=1)
+    row_arg = jnp.min(
+        jnp.where(d == row_min[:, None], col_iota, m), axis=1
+    ).astype(jnp.int32)
     off = pl.multiple_of(i * tn, tn)
-    minx_ref[0, 0, pl.ds(off, tn)] = jnp.min(d, axis=1)
-    argx_ref[0, 0, pl.ds(off, tn)] = jnp.argmin(d, axis=1).astype(jnp.int32)
+    minx_ref[0, 0, pl.ds(off, tn)] = row_min
+    argx_ref[0, 0, pl.ds(off, tn)] = row_arg
 
     # Column direction: running min across row tiles.
     @pl.when(i == 0)
@@ -84,8 +115,11 @@ def _nn_kernel(x_ref, y_ref, minx_ref, argx_ref, miny_ref, argy_ref):
         miny_ref[0, 0, :] = jnp.full((d.shape[1],), _BIG, jnp.float32)
         argy_ref[0, 0, :] = jnp.zeros((d.shape[1],), jnp.int32)
 
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
     tile_min = jnp.min(d, axis=0)                            # (M,)
-    tile_arg = jnp.argmin(d, axis=0).astype(jnp.int32) + i * tn
+    tile_arg = jnp.min(
+        jnp.where(d == tile_min[None, :], row_iota, tn), axis=0
+    ).astype(jnp.int32) + i * tn
     cur_min = miny_ref[0, 0, :]
     better = tile_min < cur_min
     miny_ref[0, 0, :] = jnp.where(better, tile_min, cur_min)
@@ -156,9 +190,7 @@ def _nn_pallas_both(
 def _nn_both(x, y, impl: str):
     if impl == "pallas":
         return _nn_pallas_both(x, y)
-    dxy, ixy = _nn_oracle(x, y)
-    dyx, iyx = _nn_oracle(y, x)
-    return dxy, ixy, dyx, iyx
+    return _nn_oracle_both(x, y)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
