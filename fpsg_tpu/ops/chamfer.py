@@ -257,11 +257,18 @@ def chamfer_distance(
     if y.ndim == 2:
         y = y[None]
     n = x.shape[-2]
+    m = y.shape[-2]
     if impl == "auto":
-        # measured crossover (benchmarks/ops_bench.py): XLA's fused oracle
-        # wins up to ~4k points; the VMEM kernel wins beyond, where the
-        # materialized N^2 matrix starts to dominate HBM traffic
-        impl = "pallas" if (n > 4096 and n % 128 == 0) else "oracle"
+        # measured crossover (benchmarks/ops_bench.py, r2): with the
+        # plain-reduce in-kernel argmin the VMEM kernel wins from ~1k
+        # points up (B=33 N=2048 fwd+bwd: 5.4 ms vs 7.9 oracle); below
+        # that XLA's fused oracle wins (and CPU tests stay off the
+        # interpret-mode kernel)
+        impl = (
+            "pallas"
+            if (n >= 1024 and n % 128 == 0 and m % 128 == 0)
+            else "oracle"
+        )
     return _chamfer(x, y, float(w1), float(w2), impl)
 
 
