@@ -44,7 +44,8 @@ def _enable_compile_cache():
 
 
 def measure_ours(n_episodes: int, steps: int, warmup: int,
-                 compute_dtype: str = "bf16") -> float:
+                 compute_dtype: str = "bf16",
+                 steps_per_call: int = 8) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -83,9 +84,11 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         opt_state=tx.init(variables["params"]),
         step=jnp.zeros((), jnp.int32),
     )
+    # K optimizer steps per dispatch (lax.scan; identical update
+    # sequence): amortizes the ~3.5 ms/dispatch axon host overhead.
     step = make_train_step(
         model, tx, n_support=n_support, n_query=n_query,
-        n_episodes=n_episodes,
+        n_episodes=n_episodes, steps_per_call=steps_per_call,
     )
 
     def sync(metrics):
@@ -103,13 +106,15 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         state, metrics = step(state, corpus, jax.random.fold_in(key, 100 + i))
     sync(metrics)
     dt = time.perf_counter() - t0
-    return n_episodes * steps / dt
+    return n_episodes * steps_per_call * steps / dt
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--episodes-per-step", type=int, default=1)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--steps-per-call", type=int, default=8,
+                    help="optimizer steps fused per dispatch (lax.scan)")
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch-CPU reference baseline")
@@ -127,7 +132,8 @@ def main():
         print(f"# measured torch-CPU baseline: {baseline:.4f} episodes/s")
 
     eps = measure_ours(args.episodes_per_step, args.steps, args.warmup,
-                       args.compute_dtype)
+                       args.compute_dtype,
+                       steps_per_call=args.steps_per_call)
     print(json.dumps({
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),

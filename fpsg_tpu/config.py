@@ -73,6 +73,10 @@ class FPSGConfig:
     # --- framework additions (TPU) ------------------------------------
     seed: int = 0
     episodes_per_step: int = 1   # E>1 batches episodes per optimizer step
+    steps_per_call: int = 0      # optimizer steps fused per dispatch via
+                                 # lax.scan (0 = auto: largest divisor of
+                                 # steps-per-epoch <= 8); amortizes host
+                                 # dispatch overhead, identical updates
     img_encoder_path: str = ""   # optional torchvision vgg16_bn weights
     eval_episodes: int = 100     # random-sampler eval episodes
     npy_folder: str = "./"       # evaluate_Network output dir
@@ -153,6 +157,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     # framework additions
     p("--seed", type=int, default=d.seed)
     p("--episodes_per_step", type=int, default=d.episodes_per_step)
+    p("--steps_per_call", type=int, default=d.steps_per_call)
     p("--img_encoder_path", type=str, default=d.img_encoder_path)
     p("--eval_episodes", type=int, default=d.eval_episodes)
     p("--npy_folder", type=str, default=d.npy_folder)

@@ -204,6 +204,21 @@ class BatchNorm(nn.Module):
                     decay * ra_var.value + new_var
                 ).astype(ra_var.value.dtype)
 
+        out_dtype = self.dtype or x.dtype
+        if out_dtype == jnp.bfloat16:
+            # bf16 compute path: collapse to one fused multiply-add in the
+            # activation dtype. k/b_eff are per-channel smalls computed in
+            # f32; the elementwise pass over the big tensor is a single
+            # bf16 FMA instead of a partly-f32 sub/mul/mul/add chain
+            # (bandwidth- and VPU-cheaper; bf16 training is already at
+            # this precision everywhere else).
+            k = jax.lax.rsqrt(var + self.epsilon) * expand(scale).astype(
+                stat_dtype)
+            b_eff = expand(bias).astype(stat_dtype) - mean * k
+            return (
+                x.astype(out_dtype) * k.astype(out_dtype)
+                + b_eff.astype(out_dtype)
+            )
         y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * expand(scale) + expand(bias)
-        return y.astype(self.dtype or x.dtype)
+        return y.astype(out_dtype)

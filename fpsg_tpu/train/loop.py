@@ -215,6 +215,17 @@ def train_network(conf: FPSGConfig) -> TrainState:
     # Episodes actually executed per epoch (== n_episode only when E
     # divides it); all per-episode normalizations use this count.
     episodes_per_epoch = steps_per_epoch * e_per_step
+    # Optimizer steps fused per dispatch (lax.scan in make_train_step):
+    # pick a DIVISOR of steps_per_epoch so the episode count per epoch is
+    # unchanged; host-corpus mode samples on the host and cannot scan.
+    req_k = conf.steps_per_call if conf.steps_per_call > 0 else 8
+    k_fused = max(
+        d for d in range(1, min(req_k, steps_per_epoch) + 1)
+        if steps_per_epoch % d == 0
+    )
+    if conf.host_corpus:
+        k_fused = 1
+    dispatches_per_epoch = steps_per_epoch // k_fused
     if conf.host_corpus:
         from fpsg_tpu.data.host_pipeline import (
             make_host_train_step, prefetched_episodes,
@@ -230,7 +241,8 @@ def train_network(conf: FPSGConfig) -> TrainState:
             return host_step(state, next(episode_iter), sub)
     else:
         train_step = make_train_step(
-            model, tx, conf.n_shot, n_query, n_episodes=e_per_step
+            model, tx, conf.n_shot, n_query, n_episodes=e_per_step,
+            steps_per_call=k_fused,
         )
     eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=False)
 
@@ -244,7 +256,7 @@ def train_network(conf: FPSGConfig) -> TrainState:
     def run_epoch(epoch, key, state):
         timer.reset()
         ttl_q, ttl_s = 0.0, 0.0
-        for _ in range(steps_per_epoch):
+        for _ in range(dispatches_per_epoch):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, train_corpus, sub)
             live["state"] = state

@@ -43,6 +43,7 @@ def make_train_step(
     n_episodes: int = 1,
     donate: bool = True,
     mesh=None,
+    steps_per_call: int = 1,
 ):
     """Build the jitted train step: (state, corpus, key) → (state, metrics).
 
@@ -53,6 +54,15 @@ def make_train_step(
     With ``mesh``, the sampled episode batch is sharding-constrained along
     the mesh's 'dp' axis, so the E vmapped episode forwards/backwards run
     data-parallel and the gradient mean lowers to an ICI all-reduce.
+
+    ``steps_per_call > 1`` wraps K sequential optimizer steps in ONE jit
+    call via ``lax.scan`` (the corpus is device-resident and episode
+    sampling is in-graph, so the inner loop is host-free). Semantics are
+    identical to K separate calls with keys ``split(key, K)``; metrics come
+    back stacked with a leading (K,) axis. This amortizes the per-dispatch
+    host overhead (~3.5 ms through the axon tunnel, measured: wall-device
+    gap in BASELINE.md) — the TPU-idiomatic replacement for the
+    reference's per-episode Python loop (SURVEY.md §3.1).
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,8 +126,19 @@ def make_train_step(
         }
         return new_state, metrics
 
+    if steps_per_call > 1:
+        def multi_step(state: TrainState, corpus: DeviceCorpus, key):
+            def body(st, k):
+                return train_step(st, corpus, k)
+
+            keys = jax.random.split(key, steps_per_call)
+            return jax.lax.scan(body, state, keys)
+
+        fn = multi_step
+    else:
+        fn = train_step
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(fn, donate_argnums=donate_argnums)
 
 
 def make_eval_step(model, n_support: int, n_query: int, with_emd: bool = True):

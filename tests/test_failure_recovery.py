@@ -26,6 +26,10 @@ def tiny_conf(tmp_path):
         img_encoder="tiny", n_shot=2, n_query=1, num_pts=64,
         n_episode=2, epoch=3, eval_interval=10, save_interval=10,
         sample_interval=10, name="crash", model_path=str(tmp_path / "ck"),
+        # one optimizer step per dispatch so the injected failure below
+        # lands on the intended step count (the default fuses steps via
+        # lax.scan, changing the number of dispatches per epoch)
+        steps_per_call=1,
     )
 
 

@@ -127,3 +127,27 @@ def test_lr_schedule_step_decay():
     assert sched(19) == 1e-3
     assert sched(20) == 5e-4
     assert sched(40) == 2.5e-4
+
+
+def test_steps_per_call_scan_matches_sequential():
+    """K optimizer steps fused per dispatch (lax.scan) must produce the
+    same trajectory as K separate dispatches with the same derived keys."""
+    model, corpus, state, step1, tx = build(sgd=True)
+    from fpsg_tpu.train import make_train_step
+
+    stepK = make_train_step(model, tx, n_support=3, n_query=1,
+                            n_episodes=1, donate=False, steps_per_call=3)
+    key = jax.random.PRNGKey(11)
+
+    sK, mK = stepK(state, corpus, key)
+    s1 = state
+    losses = []
+    for k in jax.random.split(key, 3):
+        s1, m1 = step1(s1, corpus, k)
+        losses.append(float(m1["query_rec_loss"][0]))
+
+    assert mK["query_rec_loss"].shape == (3, 1)
+    np.testing.assert_allclose(
+        np.asarray(mK["query_rec_loss"])[:, 0], losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(sK.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
