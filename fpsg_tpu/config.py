@@ -79,6 +79,11 @@ class FPSGConfig:
                                  # dispatch overhead, identical updates
     img_encoder_path: str = ""   # optional torchvision vgg16_bn weights
     eval_episodes: int = 100     # random-sampler eval episodes
+    eval_chunk: int = 16         # episodes per jitted eval dispatch (the
+                                 # full eval batch at 32-shot would put
+                                 # ~20 GB of VGG activations in HBM; the
+                                 # largest divisor of eval_episodes <= this
+                                 # is used, keeping one compiled shape)
     npy_folder: str = "./"       # evaluate_Network output dir
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
@@ -160,6 +165,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--steps_per_call", type=int, default=d.steps_per_call)
     p("--img_encoder_path", type=str, default=d.img_encoder_path)
     p("--eval_episodes", type=int, default=d.eval_episodes)
+    p("--eval_chunk", type=int, default=d.eval_chunk)
     p("--npy_folder", type=str, default=d.npy_folder)
     p("--num_pts", type=int, default=d.num_pts)
     p("--compute_dtype", type=str, default=d.compute_dtype,

@@ -42,11 +42,16 @@ _BIG = 1e30  # python float: jnp constants would be captured tracers in pallas
 # ---------------------------------------------------------------------------
 
 def _first_min_index(d: jax.Array, dmin: jax.Array, axis: int) -> jax.Array:
-    """First index attaining the minimum along ``axis`` — argmin semantics
-    via two PLAIN reduces (min + masked-iota min) instead of XLA's variadic
-    (value, index) reduce, which runs ~3x slower on TPU (measured: the
-    tuple-shaped reduce fusions in BASELINE.md's step trace)."""
+    """First index attaining the minimum along ``axis``.
+
+    Two regimes, both measured (BASELINE.md r2): up to ~4k the masked-iota
+    form (two PLAIN reduces) beats XLA's variadic (value, index) reduce by
+    ~3x; beyond that the s32 masked matrix lowers pathologically (~20 GB/s
+    at N=8192) and the variadic argmin wins. Both return the FIRST minimal
+    index (torch/kaolin tie semantics)."""
     size = d.shape[axis]
+    if size > 4096:
+        return jnp.argmin(d, axis=axis).astype(jnp.int32)
     j = jax.lax.broadcasted_iota(jnp.int32, d.shape, axis % d.ndim)
     masked = jnp.where(d == jnp.expand_dims(dmin, axis), j, size)
     return jnp.min(masked, axis=axis).astype(jnp.int32)
@@ -60,13 +65,20 @@ def _nn_oracle(x: jax.Array, y: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _nn_oracle_both(x: jax.Array, y: jax.Array):
-    """Both directions from ONE distance matrix (the separate-call form
-    materializes and reduces the (N, M) matrix twice)."""
+    """Both directions, each reduced over the LANE axis (-1).
+
+    The single-matrix form (reduce one direction over axis -2) is
+    pathological on TPU: the masked-iota s32 matrix materializes and the
+    sublane-axis min runs at ~20 GB/s (measured 100 ms at N=8192 vs 5 ms
+    for the transposed formulation). Two pairwise matmuls are far cheaper
+    than one cross-lane s32 reduction.
+    """
     d = pairwise_sqdist(x, y)
     dxy = jnp.min(d, axis=-1)
     ixy = _first_min_index(d, dxy, -1)
-    dyx = jnp.min(d, axis=-2)
-    iyx = _first_min_index(d, dyx, -2)
+    dt = pairwise_sqdist(y, x)
+    dyx = jnp.min(dt, axis=-1)
+    iyx = _first_min_index(dt, dyx, -1)
     return dxy, ixy, dyx, iyx
 
 

@@ -324,9 +324,12 @@ def train_network(conf: FPSGConfig) -> TrainState:
                     model, state, test_corpus, conf, sub
                 )
             else:
-                out = eval_step(state, test_corpus, sub, conf.eval_episodes)
-                cd = np.asarray(out["cd_loss"]) / n_query
-                cls = np.asarray(out["cls"])
+                out = _episodic_eval(
+                    eval_step, state, test_corpus, sub,
+                    conf.eval_episodes, conf.eval_chunk,
+                )
+                cd = out["cd_loss"] / n_query
+                cls = out["cls"]
             per_class = defaultdict(list)
             for c, v in zip(cls, cd):
                 per_class[test_corpus.class_names[int(c)]].append(float(v))
@@ -432,6 +435,24 @@ def _run_sequential(model, state, corpus, conf, key, with_emd):
             yield c, i, jax.tree.map(lambda a: a[j], out)
 
 
+def _episodic_eval(eval_step, state, corpus, key, n_episodes, max_chunk):
+    """Random-sampler eval in fixed-size chunks: one compiled shape, bounded
+    activation memory (the unchunked 100-episode batch at 32-shot OOMs a
+    16 GB chip on the VGG activations)."""
+    import jax as _jax
+
+    chunk = max(
+        d for d in range(1, max(min(max_chunk, n_episodes), 1) + 1)
+        if n_episodes % d == 0
+    )
+    outs = []
+    for _ in range(n_episodes // chunk):
+        key, sub = _jax.random.split(key)
+        out = eval_step(state, corpus, sub, chunk)
+        outs.append({k: np.asarray(v) for k, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
 def _sequential_eval_cd(model, state, corpus, conf, key):
     """Deterministic full-test-set CD: every item once as the query
     (SequentialBatchSampler semantics in the trainer's in-loop eval)."""
@@ -503,10 +524,13 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
     else:
         eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=True)
         key, sub = jax.random.split(key)
-        out = eval_step(state, test_corpus, sub, conf.eval_episodes)
-        cls = np.asarray(out["cls"])
+        out = _episodic_eval(
+            eval_step, state, test_corpus, sub,
+            conf.eval_episodes, conf.eval_chunk,
+        )
+        cls = out["cls"]
         for c, cd_v, emd_v in zip(
-            cls, np.asarray(out["cd_loss"]), np.asarray(out["emd_loss"])
+            cls, out["cd_loss"], out["emd_loss"]
         ):
             name = test_corpus.class_names[int(c)]
             per_class_cd[name].append(float(cd_v) / n_query)
