@@ -178,6 +178,13 @@ class PrimitiveDecoder(nn.Module):
         # BN: params/running stats per (cluster, channel); train-mode batch
         # stats per (cluster, node, channel) — the reference calls the
         # shared deformer once per node.
+        # Fuse the activation into the BN affine when it is relu (the
+        # reference default); other activations apply outside.
+        fused_act = "relu" if self.activation == "relu" else None
+
+        def post(t):
+            return t if fused_act else act(t)
+
         def dbn(name):
             return BatchNorm(
                 feature_axes=(1, -1),
@@ -185,6 +192,7 @@ class PrimitiveDecoder(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 two_pass=self.precise_stats,
+                activation=fused_act,
                 name=name,
             )
 
@@ -195,13 +203,13 @@ class PrimitiveDecoder(nn.Module):
             raw.reshape(b, c, nn_ * ppn, self.ori_dim)
         )
         d = d.reshape(b, c, nn_, ppn, w)
-        d = act(dbn("deformer_bn1")(d, not train, shift=b1))
+        d = post(dbn("deformer_bn1")(d, not train, shift=b1))
         d, b2 = _StackedDense((c,), w, w, fold_bias=True, dtype=self.dtype,
                               name="deformer_conv2")(
             d.reshape(b, c, nn_ * ppn, w)
         )
         d = d.reshape(b, c, nn_, ppn, w)
-        d = act(dbn("deformer_bn2")(d, not train, shift=b2))
+        d = post(dbn("deformer_bn2")(d, not train, shift=b2))
         d = jnp.tanh(
             _StackedDense((c,), w, self.raw_dim, dtype=self.dtype,
                           name="deformer_conv3")(
@@ -228,6 +236,7 @@ class PrimitiveDecoder(nn.Module):
                 axis_name=self.axis_name,
                 dtype=self.dtype,
                 two_pass=two_pass,
+                activation=fused_act,
                 name=name,
             )
 
@@ -236,13 +245,13 @@ class PrimitiveDecoder(nn.Module):
             (c, nn_), h.shape[-1], self.raw_dim, dims[1],
             dtype=self.dtype, name="node_conv1",
         )(h, d)
-        x = act(nbn("node_bn1", True)(x, not train, shift=nb1))
+        x = post(nbn("node_bn1", True)(x, not train, shift=nb1))
         for i in range(1, 3):
             x, nb = _StackedDense(
                 (c, nn_), dims[i], dims[i + 1], fold_bias=True,
                 dtype=self.dtype, name=f"node_conv{i + 1}",
             )(x)
-            x = act(nbn(f"node_bn{i + 1}", self.precise_stats)(
+            x = post(nbn(f"node_bn{i + 1}", self.precise_stats)(
                 x, not train, shift=nb))
         x = jnp.tanh(
             _StackedDense((c, nn_), dims[3], dims[4], dtype=self.dtype,

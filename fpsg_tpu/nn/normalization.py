@@ -51,6 +51,52 @@ def _canon(axes: Tuple[int, ...], ndim: int) -> Tuple[int, ...]:
     return tuple(a % ndim for a in axes)
 
 
+@jax.custom_vjp
+def _affine_relu(x: jax.Array, k: jax.Array, b: jax.Array) -> jax.Array:
+    """``relu(x * k + b)`` with a hand-scheduled backward.
+
+    k/b are per-channel broadcast-shaped (size-1 elsewhere). The backward
+    is ONE fused pass over (y, g): the relu mask comes from the OUTPUT
+    (same as torch's [pre>0] — at a tie both give 0), ``gx = m*g*k``, and
+    the k/b cotangents come from two reduces of the same pass, recovering
+    ``m*x`` as ``(m*y - m*b)/k`` so the pre-activation tensor is never
+    saved or re-read. Measured perf-neutral vs letting XLA fuse the
+    unfused chain (XLA already reaches the same pass structure); kept for
+    the guaranteed single-pass backward and the smaller autodiff graph."""
+    return jnp.maximum(x * k + b, 0)
+
+
+def _affine_relu_fwd(x, k, b):
+    y = jnp.maximum(x * k + b, 0)
+    return y, (y, k, b)
+
+
+def _affine_relu_bwd(res, g):
+    y, k, b = res
+    m = y > 0
+    gm = jnp.where(m, g, jnp.zeros((), g.dtype))
+    gx = (gm * k).astype(y.dtype)
+    ra = tuple(
+        i for i in range(y.ndim) if k.shape[i] == 1 and y.shape[i] != 1
+    )
+    acc = jnp.promote_types(g.dtype, jnp.float32)
+    gmf = gm.astype(acc)
+    gb = jnp.sum(gmf, axis=ra, keepdims=True)
+    gmy = jnp.sum(gmf * y.astype(acc), axis=ra, keepdims=True)
+    kf = k.astype(acc)
+    # x is recovered as (y-b)/k; at k == 0 (scale exactly 0 — measure-zero
+    # in training) that is undefined, so clamp the cotangent to 0 there
+    # instead of NaN-poisoning the step.
+    kf_safe = jnp.where(kf == 0, 1.0, kf)
+    gk = jnp.where(
+        kf == 0, 0.0, (gmy - b.astype(jnp.float32) * gb) / kf_safe
+    )
+    return gx, gk.astype(k.dtype), gb.astype(b.dtype)
+
+
+_affine_relu.defvjp(_affine_relu_fwd, _affine_relu_bwd)
+
+
 class BatchNorm(nn.Module):
     """Torch-semantics batch norm over arbitrary feature/group axes.
 
@@ -77,6 +123,10 @@ class BatchNorm(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     two_pass: bool = True
+    activation: Optional[str] = None  # "relu" fuses the activation into
+                                      # the normalize affine with a
+                                      # single-pass custom backward
+                                      # (_affine_relu)
 
     @nn.compact
     def __call__(
@@ -205,20 +255,23 @@ class BatchNorm(nn.Module):
                 ).astype(ra_var.value.dtype)
 
         out_dtype = self.dtype or x.dtype
-        if out_dtype == jnp.bfloat16:
-            # bf16 compute path: collapse to one fused multiply-add in the
-            # activation dtype. k/b_eff are per-channel smalls computed in
+        fuse_relu = self.activation == "relu"
+        if out_dtype == jnp.bfloat16 or fuse_relu:
+            # Collapsed affine: k/b_eff are per-channel smalls computed in
             # f32; the elementwise pass over the big tensor is a single
-            # bf16 FMA instead of a partly-f32 sub/mul/mul/add chain
-            # (bandwidth- and VPU-cheaper; bf16 training is already at
-            # this precision everywhere else).
+            # FMA (one bf16 op in mixed precision instead of a partly-f32
+            # sub/mul/mul/add chain), optionally with the relu fused in
+            # via the single-pass custom backward.
             k = jax.lax.rsqrt(var + self.epsilon) * expand(scale).astype(
                 stat_dtype)
             b_eff = expand(bias).astype(stat_dtype) - mean * k
-            return (
-                x.astype(out_dtype) * k.astype(out_dtype)
-                + b_eff.astype(out_dtype)
-            )
+            cd = out_dtype if out_dtype == jnp.bfloat16 else stat_dtype
+            xc, kc, bc = x.astype(cd), k.astype(cd), b_eff.astype(cd)
+            if fuse_relu:
+                return _affine_relu(xc, kc, bc).astype(out_dtype)
+            return xc * kc + bc
+        if self.activation is not None:
+            raise NotImplementedError(self.activation)
         y = (x.astype(stat_dtype) - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * expand(scale) + expand(bias)
         return y.astype(out_dtype)

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from fpsg_tpu.nn._init import torch_linear_kernel_init, make_torch_bias_init
-from fpsg_tpu.nn.activations import relu
 from fpsg_tpu.nn.normalization import BatchNorm
 
 
@@ -75,10 +74,13 @@ class STN3d(nn.Module):
         dt = self.dtype
         bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
                                     two_pass=self.precise_stats, name=name)
+        bnr = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                     two_pass=self.precise_stats,
+                                     activation="relu", name=name)
 
         def block(h, feats, fan_in, conv, bnn):
             y, b = _dense_fold(feats, fan_in, conv, dt)(h)
-            return relu(bn(bnn)(y, not train, shift=b))
+            return bnr(bnn)(y, not train, shift=b)
 
         h = block(x, 64, 3, "conv1", "bn1")
         h = block(h, 128, 64, "conv2", "bn2")
@@ -100,12 +102,13 @@ class STNkd(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        bn = lambda name: BatchNorm(axis_name=self.axis_name,
-                                    two_pass=self.precise_stats, name=name)
+        bnr = lambda name: BatchNorm(axis_name=self.axis_name,
+                                     two_pass=self.precise_stats,
+                                     activation="relu", name=name)
 
         def block(h, feats, fan_in, conv, bnn):
             y, b = _dense_fold(feats, fan_in, conv)(h)
-            return relu(bn(bnn)(y, not train, shift=b))
+            return bnr(bnn)(y, not train, shift=b)
 
         h = block(x, 64, self.k, "conv1", "bn1")
         h = block(h, 128, 64, "conv2", "bn2")
@@ -138,11 +141,14 @@ class PointNetFeat(nn.Module):
         dt = self.dtype
         bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
                                     two_pass=self.precise_stats, name=name)
+        bnr = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+                                     two_pass=self.precise_stats,
+                                     activation="relu", name=name)
         trans = STN3d(axis_name=self.axis_name, dtype=dt,
                       precise_stats=self.precise_stats, name="stn")(x, train)
         x = jnp.einsum("bnd,bde->bne", x.astype(jnp.float32), trans)
         y, b = _dense_fold(64, 3, "conv1", dt)(x)
-        x = relu(bn("bn1")(y, not train, shift=b))
+        x = bnr("bn1")(y, not train, shift=b)
 
         if self.feature_transform:
             trans_feat = STNkd(k=64, axis_name=self.axis_name,
@@ -158,7 +164,7 @@ class PointNetFeat(nn.Module):
 
         point_feat = x
         y, b = _dense_fold(128, 64, "conv2", dt)(x)
-        x = relu(bn("bn2")(y, not train, shift=b))
+        x = bnr("bn2")(y, not train, shift=b)
         y, b = _dense_fold(1024, 128, "conv3", dt)(x)
         x = bn("bn3")(y, not train, shift=b)
         x = jnp.max(x, axis=1).astype(jnp.float32)             # (B, 1024)

@@ -153,9 +153,8 @@ class VGG16BN(nn.Module):
             y, b = _ConvFold(int(v), dtype=self.dtype,
                              name=f"features_{idx}")(x)
             x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                          two_pass=self.precise_stats,
+                          two_pass=self.precise_stats, activation="relu",
                           name=f"features_{idx + 1}")(y, not train, shift=b)
-            x = relu(x)
             idx += 3  # conv, bn, relu
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))

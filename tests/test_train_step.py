@@ -151,3 +151,16 @@ def test_steps_per_call_scan_matches_sequential():
         np.asarray(mK["query_rec_loss"])[:, 0], losses, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(sK.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_episodic_eval_chunking():
+    """The chunked random-sampler eval returns exactly n_episodes results
+    and finite values (the unchunked batch OOMs real-size runs)."""
+    from fpsg_tpu.train.loop import _episodic_eval
+
+    model, corpus, state, _, _ = build()
+    ev = make_eval_step(model, n_support=3, n_query=1, with_emd=False)
+    out = _episodic_eval(ev, state, corpus, jax.random.PRNGKey(0),
+                         n_episodes=6, max_chunk=4)  # divisor chosen: 3
+    assert out["cd_loss"].shape == (6,)
+    assert np.isfinite(out["cd_loss"]).all()
