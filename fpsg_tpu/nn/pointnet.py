@@ -72,8 +72,6 @@ class STN3d(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         # x: (B, N, 3)
         dt = self.dtype
-        bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
-                                    two_pass=self.precise_stats, name=name)
         bnr = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
                                      two_pass=self.precise_stats,
                                      activation="relu", name=name)

