@@ -202,3 +202,63 @@ def test_zero_variance_channel_stable(rng):
         jnp.array(x), True,
     )
     assert np.isfinite(np.asarray(y_eval)).all()
+
+
+def test_shift_fold_matches_explicit_bias_add(rng):
+    """BN(x, shift=b) must behave exactly as BN(x + expand(b)): train-mode
+    output, running-stat updates, and eval-mode output (the conv-bias fold
+    identity the round-2 layers rely on)."""
+    x = rng.standard_normal((6, 20, 10)).astype(np.float32)
+    b = rng.standard_normal((10,)).astype(np.float32)
+
+    for two_pass in (True, False):
+        bn = BatchNorm(two_pass=two_pass)
+        v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+
+        y_fold, mut_fold = bn.apply(
+            v, jnp.asarray(x), False, shift=jnp.asarray(b),
+            mutable=["batch_stats"])
+        y_add, mut_add = bn.apply(
+            v, jnp.asarray(x + b[None, None, :]), False,
+            mutable=["batch_stats"])
+
+        np.testing.assert_allclose(
+            np.asarray(y_fold), np.asarray(y_add), rtol=1e-5, atol=1e-6)
+        for kstat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut_fold["batch_stats"][kstat]),
+                np.asarray(mut_add["batch_stats"][kstat]),
+                rtol=1e-5, atol=1e-6)
+
+        # eval mode with the updated (bias-inclusive) running stats
+        ev_fold = bn.apply(
+            {"params": v["params"],
+             "batch_stats": mut_fold["batch_stats"]},
+            jnp.asarray(x), True, shift=jnp.asarray(b))
+        ev_add = bn.apply(
+            {"params": v["params"], "batch_stats": mut_add["batch_stats"]},
+            jnp.asarray(x + b[None, None, :]), True)
+        np.testing.assert_allclose(
+            np.asarray(ev_fold), np.asarray(ev_add), rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_shift_fold(rng):
+    """Fold identity with group axes + the fused relu activation (the
+    decoder's deformer BN configuration)."""
+    x = rng.standard_normal((4, 3, 5, 16, 8)).astype(np.float32)
+    b = rng.standard_normal((3, 8)).astype(np.float32)
+    bn = BatchNorm(feature_axes=(1, -1), group_axes=(2,), two_pass=False,
+                   activation="relu")
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    y_fold, mut_fold = bn.apply(
+        v, jnp.asarray(x), False, shift=jnp.asarray(b),
+        mutable=["batch_stats"])
+    xb = x + b[None, :, None, None, :]
+    y_add, mut_add = bn.apply(
+        v, jnp.asarray(xb), False, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y_fold), np.asarray(y_add), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mut_fold["batch_stats"]["mean"]),
+        np.asarray(mut_add["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+    assert (np.asarray(y_fold) >= 0).all()  # relu fused
