@@ -63,6 +63,7 @@ class PCEncoder(nn.Module):
             )(x, train)
         if self.core == "dgcnn":
             return DGCNNFeat(axis_name=self.axis_name, dtype=self.dtype,
+                             precise_stats=self.precise_stats,
                              name="pc_encoder")(x, train)
         raise NotImplementedError(
             f"Unsupported Point Cloud Encoder Core: {self.core}"

@@ -44,6 +44,7 @@ class _EdgeConv(nn.Module):
     k: int
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -57,7 +58,7 @@ class _EdgeConv(nn.Module):
             name="conv",
         )(h)
         h = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                      name="bn")(h, not train)
+                      two_pass=self.precise_stats, name="bn")(h, not train)
         h = jax.nn.leaky_relu(h, 0.2)
         return jnp.max(h, axis=2)                              # max over k
 
@@ -74,15 +75,20 @@ class DGCNNFeat(nn.Module):
     dual_pool: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
+    precise_stats: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         emb = self.embedding_dim // 2 if self.dual_pool else self.embedding_dim
         dt = self.dtype
-        x1 = _EdgeConv(64, self.k, self.axis_name, dt, name="conv1")(x, train)
-        x2 = _EdgeConv(64, self.k, self.axis_name, dt, name="conv2")(x1, train)
-        x3 = _EdgeConv(128, self.k, self.axis_name, dt, name="conv3")(x2, train)
-        x4 = _EdgeConv(256, self.k, self.axis_name, dt, name="conv4")(x3, train)
+        x1 = _EdgeConv(64, self.k, self.axis_name, dt,
+                       precise_stats=self.precise_stats, name="conv1")(x, train)
+        x2 = _EdgeConv(64, self.k, self.axis_name, dt,
+                       precise_stats=self.precise_stats, name="conv2")(x1, train)
+        x3 = _EdgeConv(128, self.k, self.axis_name, dt,
+                       precise_stats=self.precise_stats, name="conv3")(x2, train)
+        x4 = _EdgeConv(256, self.k, self.axis_name, dt,
+                       precise_stats=self.precise_stats, name="conv4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)         # (B, N, 512)
         h = nn.Dense(
             emb,
@@ -92,7 +98,7 @@ class DGCNNFeat(nn.Module):
             name="conv5",
         )(h)
         h = BatchNorm(axis_name=self.axis_name, dtype=dt,
-                      name="bn5")(h, not train)
+                      two_pass=self.precise_stats, name="bn5")(h, not train)
         h = jax.nn.leaky_relu(h, 0.2).astype(jnp.float32)
         mx = jnp.max(h, axis=1)
         if not self.dual_pool:
