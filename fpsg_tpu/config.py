@@ -88,6 +88,9 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
+    precise_stats: bool = False  # two-pass BN variance everywhere — the
+                                 # exact torch-trajectory parity mode
+                                 # (PARITY.md round-2 notes); ~5% slower
     host_corpus: bool = False    # corpus stays in host RAM; episodes are
                                  # assembled on a prefetch thread (for
                                  # datasets larger than HBM)
@@ -170,6 +173,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--num_pts", type=int, default=d.num_pts)
     p("--compute_dtype", type=str, default=d.compute_dtype,
       choices=["f32", "bf16"])
+    p("--precise_stats", action="store_true")
     p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")

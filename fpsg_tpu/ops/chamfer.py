@@ -48,7 +48,13 @@ def _first_min_index(d: jax.Array, dmin: jax.Array, axis: int) -> jax.Array:
     form (two PLAIN reduces) beats XLA's variadic (value, index) reduce by
     ~3x; beyond that the s32 masked matrix lowers pathologically (~20 GB/s
     at N=8192) and the variadic argmin wins. Both return the FIRST minimal
-    index (torch/kaolin tie semantics)."""
+    index (torch/kaolin tie semantics).
+
+    NaN caveat: with all-NaN distances the masked-iota form returns the
+    out-of-range fill index ``size`` (NaN != NaN, so no element matches
+    dmin); the downstream gather clamps, silently routing gradient to the
+    last point, where argmin would return an in-range index. Inputs are
+    already degenerate (NaN coordinates) in that regime — acceptable."""
     size = d.shape[axis]
     if size > 4096:
         return jnp.argmin(d, axis=axis).astype(jnp.int32)

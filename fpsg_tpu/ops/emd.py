@@ -49,6 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 from fpsg_tpu.ops.pairwise import pairwise_sqdist
 from fpsg_tpu.ops._pallas_utils import interpret_default, pad_points
 
+# Early-exit threshold on the Sinkhorn f-update sup-norm (cost units).
+# Empirically the value error tracks the f-step sup-norm ~4:1 (e.g. a
+# 1e-4 stop leaves 4e-4 value drift at N=32), so 1e-6 keeps the stop far
+# below both the entropic bias and the fixed-point test tolerances while
+# typical converged eval pairs still exit well inside the iteration
+# budget (measured in benchmarks/emd_exact_bound.py; BASELINE.md r3).
+DEFAULT_TOL = 1e-6
+
 
 # ---------------------------------------------------------------------------
 # Pallas kernel: VMEM-resident log-domain Sinkhorn iterations
@@ -73,7 +81,9 @@ def _eps_at(i, eps: float, n_iters: int, anneal_frac: float, eps0: float):
 
 
 def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
-                             anneal_frac: float, eps0: float):
+                             anneal_frac: float, eps0: float, tol: float):
+    t_anneal = max(int(n_iters * anneal_frac), 1)
+
     def kernel(x_ref, y_ref, f_ref, g_ref):
         y = y_ref[0]                                   # (M, Dp) f32
         n = x_ref.shape[1]
@@ -97,21 +107,29 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
             )
             return jnp.maximum(xt_sq - 2.0 * cross + y_sq.T, 0.0)
 
-        def one_iter(it, carry):
+        def one_iter(carry):
+            it, _ = carry
             e = _eps_at(it, eps, n_iters, anneal_frac, eps0)
 
             # --- f_i = -e * LSE_j[(g_j - c_ij)/e + log_nu] --------------
-            def f_tile(i, carry):
+            # delta tracks max_i |f_new - f_old|: the sup-norm step of the
+            # Hilbert-metric contraction. Once the anneal has settled, a
+            # small step bounds the remaining row-marginal violation
+            # (|log sum_j P_ij - log mu_i| <= delta/e), which bounds the
+            # transport-cost error — the early-exit criterion.
+            def f_tile(i, delta):
                 c = cost_tile(i)
                 v = (g_ref[0, 0, :][None, :] - c) / e + log_nu
                 vm = jnp.max(v, axis=1, keepdims=True)
                 lse = jnp.squeeze(vm, 1) + jnp.log(
                     jnp.sum(jnp.exp(v - vm), axis=1)
                 )
-                f_ref[0, 0, pl.ds(i * tile_n, tile_n)] = -e * lse
-                return carry
+                f_old = f_ref[0, 0, pl.ds(i * tile_n, tile_n)]
+                f_new = -e * lse
+                f_ref[0, 0, pl.ds(i * tile_n, tile_n)] = f_new
+                return jnp.maximum(delta, jnp.max(jnp.abs(f_new - f_old)))
 
-            jax.lax.fori_loop(0, n_tiles, f_tile, 0)
+            delta = jax.lax.fori_loop(0, n_tiles, f_tile, jnp.float32(0.0))
 
             # --- g_j = -e * LSE_i[(f_i - c_ij)/e + log_mu] --------------
             # online (streaming) logsumexp across row tiles
@@ -133,9 +151,24 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
                 0, n_tiles, g_tile, (m0, s0)
             )
             g_ref[0, 0, :] = -e * (jnp.log(run_sum) + run_max)
-            return carry
+            return it + 1, delta
 
-        jax.lax.fori_loop(0, n_iters, one_iter, 0)
+        if tol > 0.0:
+            # Run while not converged: iterate at least through the anneal
+            # (eps changes move the potentials regardless of convergence),
+            # then stop once the f-step sup-norm drops below tol.
+            def cond(carry):
+                it, delta = carry
+                return jnp.logical_and(
+                    it < n_iters,
+                    jnp.logical_or(it <= t_anneal + 1, delta > tol),
+                )
+
+            jax.lax.while_loop(cond, one_iter, (jnp.int32(0), jnp.float32(1e30)))
+        else:
+            jax.lax.fori_loop(
+                0, n_iters, lambda i, c: one_iter(c), (jnp.int32(0), jnp.float32(0.0))
+            )
 
     return kernel
 
@@ -143,7 +176,7 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "eps", "n_iters", "tile_n", "interpret", "anneal_frac", "eps0"
+        "eps", "n_iters", "tile_n", "interpret", "anneal_frac", "eps0", "tol"
     ),
 )
 def _sinkhorn_potentials_pallas(
@@ -156,6 +189,7 @@ def _sinkhorn_potentials_pallas(
     interpret: Optional[bool] = None,
     anneal_frac: float = 0.5,
     eps0: float = 1.0,
+    tol: float = 0.0,
 ):
     """Converged Sinkhorn potentials (f (B,N), g (B,M)) via the VMEM kernel."""
     if interpret is None:
@@ -171,7 +205,8 @@ def _sinkhorn_potentials_pallas(
 
     f, g = pl.pallas_call(
         _sinkhorn_kernel_factory(
-            n_iters, float(eps), tile_n, float(anneal_frac), float(eps0)
+            n_iters, float(eps), tile_n, float(anneal_frac), float(eps0),
+            float(tol),
         ),
         grid=(b,),
         in_specs=[
@@ -205,7 +240,8 @@ def _logsumexp(a: jax.Array, axis: int) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "eps", "n_iters", "cost", "reduce", "impl", "anneal_frac", "eps0"
+        "eps", "n_iters", "cost", "reduce", "impl", "anneal_frac", "eps0",
+        "tol",
     ),
 )
 def sinkhorn_emd(
@@ -219,6 +255,7 @@ def sinkhorn_emd(
     impl: str = "auto",
     anneal_frac: float = 0.5,
     eps0: float = 1.0,
+    tol: float = DEFAULT_TOL,
 ) -> jax.Array:
     """Sinkhorn-approximate EMD between point clouds.
 
@@ -237,6 +274,12 @@ def sinkhorn_emd(
             iteration counts this is strictly more accurate than fixed-eps
             (the final fixed point is unchanged); 100 annealed iterations
             beat 300 fixed ones in measured assignment error.
+      tol: early-exit threshold on the f-update sup-norm (cost units),
+            checked after the anneal settles; 0 disables (always runs
+            ``n_iters``). The default stops once the step implies a
+            row-marginal violation far below the entropic bias itself —
+            measured identical EMD values to 6 decimals at production
+            shapes (benchmarks/emd_exact_bound.py; BASELINE.md r3 table).
 
     Returns:
       Transport cost per batch element (or reduced scalar).
@@ -264,25 +307,37 @@ def sinkhorn_emd(
         f, g = _sinkhorn_potentials_pallas(
             jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
             eps=eps, n_iters=n_iters,
-            anneal_frac=anneal_frac, eps0=eps0,
+            anneal_frac=anneal_frac, eps0=eps0, tol=tol,
         )
     else:
-        def body(carry, it):
-            f, g = carry
+        t_anneal = max(int(n_iters * anneal_frac), 1)
+
+        def body(carry):
+            f, g, it, _ = carry
             e = _eps_at(it, eps, n_iters, anneal_frac, eps0)
             # f_i = -e * LSE_j[(g_j - C_ij)/e + log nu_j]
-            f = -e * _logsumexp(
+            f_new = -e * _logsumexp(
                 (g[..., None, :] - c_sg) / e + log_nu, axis=-1
             )
+            delta = jnp.max(jnp.abs(f_new - f))
             g = -e * _logsumexp(
-                (f[..., :, None] - c_sg) / e + log_mu, axis=-2
+                (f_new[..., :, None] - c_sg) / e + log_mu, axis=-2
             )
-            return (f, g), None
+            return f_new, g, it + 1, delta
+
+        def cond(carry):
+            _, _, it, delta = carry
+            if tol <= 0.0:
+                return it < n_iters
+            return jnp.logical_and(
+                it < n_iters,
+                jnp.logical_or(it <= t_anneal + 1, delta > tol),
+            )
 
         f0 = jnp.zeros(c.shape[:-1], jnp.float32)
         g0 = jnp.zeros(c.shape[:-2] + (m,), jnp.float32)
-        (f, g), _ = jax.lax.scan(
-            body, (f0, g0), jnp.arange(n_iters), length=n_iters
+        f, g, _, _ = jax.lax.while_loop(
+            cond, body, (f0, g0, jnp.int32(0), jnp.float32(1e30))
         )
 
     # Transport plan (stop-gradient: envelope theorem); one materialized

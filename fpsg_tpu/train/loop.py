@@ -58,6 +58,7 @@ def build_model(conf: FPSGConfig, axis_name: Optional[str] = None):
         metric=conf.pc_dist,
         intra_support=conf.intra_recon,
         aggregate=conf.aggregate,
+        precise_stats=conf.precise_stats,
         axis_name=axis_name,
     )
 
@@ -225,6 +226,10 @@ def train_network(conf: FPSGConfig) -> TrainState:
     )
     if conf.host_corpus:
         k_fused = 1
+    if conf.steps_per_call > 0 and k_fused != conf.steps_per_call:
+        print(f"steps_per_call: requested {conf.steps_per_call}, using "
+              f"{k_fused} (largest divisor of {steps_per_epoch} "
+              f"steps/epoch{' ; host_corpus forces 1' if conf.host_corpus else ''})")
     dispatches_per_epoch = steps_per_epoch // k_fused
     if conf.host_corpus:
         from fpsg_tpu.data.host_pipeline import (
