@@ -53,7 +53,7 @@ class _StackedDense(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: Optional[jax.Array], *, params_only: bool = False):
         # x: (B, *groups, P, d_in)
         bound = (1.0 / self.d_in) ** 0.5
 
@@ -63,6 +63,14 @@ class _StackedDense(nn.Module):
         kernel = self.param(
             "kernel", kinit, (*self.groups, self.d_in, self.d_out)
         )
+        if params_only:
+            # fused-kernel path (nn/fused_stack.py): hand the raw params
+            # to the caller; this module stays the parameter owner so
+            # checkpoints/goldens are unchanged
+            bias = self.param(
+                "bias", kinit, (*self.groups, self.d_out)
+            ) if self.use_bias else None
+            return kernel, bias
         dt = self.dtype or x.dtype
         x = x.astype(dt)
         kernel = kernel.astype(dt)
@@ -106,7 +114,8 @@ class _StackedDenseSplitCond(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, cond: jax.Array, pts: jax.Array) -> jax.Array:
+    def __call__(self, cond: Optional[jax.Array], pts: Optional[jax.Array],
+                 *, params_only: bool = False):
         # cond: (B, d_cond); pts: (B, C, Nn, P, d_pt)
         d_in = self.d_cond + self.d_pt
         bound = (1.0 / d_in) ** 0.5
@@ -118,6 +127,8 @@ class _StackedDenseSplitCond(nn.Module):
             "kernel", kinit, (*self.groups, d_in, self.d_out)
         )
         bias = self.param("bias", kinit, (*self.groups, self.d_out))
+        if params_only:
+            return kernel, bias
         dt = self.dtype or pts.dtype
         kh = kernel[..., : self.d_cond, :].astype(dt)
         kd = kernel[..., self.d_cond:, :].astype(dt)
@@ -148,6 +159,10 @@ class PrimitiveDecoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False  # two-pass BN variance everywhere
+    fused: str = "auto"        # node-chain execution: 'auto' (Pallas
+                               # fused kernels on TPU — nn/fused_stack.py —
+                               # unfused XLA elsewhere and under
+                               # precise_stats), 'on', or 'off'
 
     @nn.compact
     def __call__(
@@ -241,6 +256,15 @@ class PrimitiveDecoder(nn.Module):
             )
 
         dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
+
+        fused_on = self.fused == "on" or (
+            self.fused == "auto"
+            and not self.precise_stats
+            and self.activation == "relu"
+            and jax.default_backend() == "tpu"
+        )
+        if fused_on:
+            return self._fused_node_chain(h, d, train, nbn, dims)
         x, nb1 = _StackedDenseSplitCond(
             (c, nn_), h.shape[-1], self.raw_dim, dims[1],
             dtype=self.dtype, name="node_conv1",
@@ -261,3 +285,114 @@ class PrimitiveDecoder(nn.Module):
         # cluster-major, node-mid, point-minor ordering (:107-110,131-132);
         # total = C*Nn*ppn (integer division like the reference, :89-95).
         return x.reshape(b, c * nn_ * ppn, 3)
+
+    def _fused_node_chain(self, h, d, train, nbn, dims):
+        """Node chain via the fused Pallas kernels (nn/fused_stack.py).
+
+        Equivalent math to the unfused chain (equivalence-tested in
+        tests/test_fused_decoder.py): each layer reads its input once and
+        writes its output once; BatchNorm runs in stats-injection mode
+        (owning params/running stats, never touching the big tensors).
+        Activations live in group-major (C, Nn, R, d), R = B*P — only the
+        small tensors (deformed points in, 3-d points out) transpose.
+        """
+        from fpsg_tpu.nn.fused_stack import (
+            fused_l1_layer, fused_mid_layer, fused_out_layer,
+        )
+
+        b = h.shape[0]
+        c, nn_ = self.num_clusters, self.num_nodes
+        ppn = self.num_points // c // nn_
+        r = b * ppn
+        dt = d.dtype
+        ax = self.axis_name
+
+        def psum(t):
+            return jax.lax.psum(t, ax) if ax is not None else t
+
+        def pmean(t):
+            return jax.lax.pmean(t, ax) if ax is not None else t
+
+        n_rows = r * (jax.lax.psum(1, ax) if ax is not None else 1)
+
+        # group-major deformed points, raw_dim zero-padded to 8 lanes
+        dg = jnp.transpose(d, (1, 2, 0, 3, 4)).reshape(c, nn_, r,
+                                                       self.raw_dim)
+        dg = jnp.pad(dg, ((0, 0),) * 3 + ((0, 8 - self.raw_dim),))
+
+        # --- L1: hoisted conditioning + tiny-K point matmul ---------------
+        d_cond = h.shape[-1]
+        k1_full, nb1 = _StackedDenseSplitCond(
+            (c, nn_), d_cond, self.raw_dim, dims[1],
+            dtype=self.dtype, name="node_conv1",
+        )(None, None, params_only=True)
+        kh = k1_full[..., :d_cond, :].astype(dt)
+        kd = jnp.pad(
+            k1_full[..., d_cond:, :],
+            ((0, 0), (0, 0), (0, 8 - self.raw_dim), (0, 0)),
+        ).astype(dt)
+        y_cond = jnp.einsum("be,cnef->cnbf", h.astype(dt), kh)  # (C,Nn,B,F)
+        yc_f = y_cond.astype(jnp.float32)
+        bn1 = nbn("node_bn1", True)
+        if train:
+            mean_s = pmean(jnp.mean(yc_f, axis=2))              # (C,Nn,F)
+            sc = yc_f - mean_s[:, :, None, :]
+            var_s = pmean(jnp.mean(sc * sc, axis=2))
+            y1, zs, zq, zc = fused_l1_layer(dg, kd, y_cond, sc, True, ppn)
+            zs, zq, zc = psum(zs), psum(zq), psum(zc)
+            mz = zs / n_rows
+            # exact two-pass variance via the within/cov/between split
+            # (fused_stack.py module docstring)
+            mean1 = mz + mean_s
+            var1 = (zq / n_rows - mz * mz) + 2.0 * zc / n_rows + var_s
+            k1, b1 = bn1(None, False, shift=nb1, stats=(mean1, var1, n_rows),
+                         return_affine=True)
+        else:
+            y1 = fused_l1_layer(
+                dg, kd, y_cond, jnp.zeros_like(yc_f), False, ppn)[0]
+            k1, b1 = bn1(None, True, shift=nb1, return_affine=True,
+                         param_shape_hint=(c, nn_, dims[1]))
+
+        # --- L2/L3: fused affine+relu -> matmul -> stats ------------------
+        def mid(y_prev, k_prev, b_prev, i):
+            w, nb = _StackedDense(
+                (c, nn_), dims[i], dims[i + 1], fold_bias=True,
+                dtype=self.dtype, name=f"node_conv{i + 1}",
+            )(None, params_only=True)
+            w = w.astype(dt)
+            bnm = nbn(f"node_bn{i + 1}", self.precise_stats)
+            hint = (c, nn_, dims[i + 1])
+            if not train:
+                y = fused_mid_layer(
+                    y_prev, k_prev, b_prev, w,
+                    jnp.zeros(hint, jnp.float32), False, ppn)[0]
+                kk, bb = bnm(None, True, shift=nb, return_affine=True,
+                             param_shape_hint=hint)
+                return y, kk, bb
+            s = bnm(None, True, shift=nb, return_shift=True,
+                    param_shape_hint=hint)
+            y, zs_, zq_ = fused_mid_layer(y_prev, k_prev, b_prev, w, s,
+                                          True, ppn)
+            zs_, zq_ = psum(zs_), psum(zq_)
+            mz_ = zs_ / n_rows
+            mean_ = mz_ + s                      # E[y] = E[z] + s
+            var_ = jnp.maximum(zq_ / n_rows - mz_ * mz_, 0.0)
+            kk, bb = bnm(None, False, shift=nb, stats=(mean_, var_, n_rows),
+                         return_affine=True)
+            return y, kk, bb
+
+        y2, k2, b2 = mid(y1, k1, b1, 1)
+        y3, k3, b3 = mid(y2, k2, b2, 2)
+
+        # --- L4: affine+relu -> matmul + bias -> tanh ---------------------
+        w4, bias4 = _StackedDense(
+            (c, nn_), dims[3], dims[4], dtype=self.dtype, name="node_conv4",
+        )(None, params_only=True)
+        w4p = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, 8 - dims[4])))
+        bias4p = jnp.pad(bias4, ((0, 0), (0, 0), (0, 8 - dims[4])))
+        yout = fused_out_layer(y3, k3, b3, w4p.astype(dt), bias4p, ppn)
+        yout = yout[..., :dims[4]]                          # (C,Nn,R,3) f32
+        out = yout.reshape(c, nn_, b, ppn, dims[4])
+        return jnp.transpose(out, (2, 0, 1, 3, 4)).reshape(
+            b, c * nn_ * ppn, dims[4]
+        )

@@ -89,7 +89,7 @@ def _affine_relu_bwd(res, g):
     # instead of NaN-poisoning the step.
     kf_safe = jnp.where(kf == 0, 1.0, kf)
     gk = jnp.where(
-        kf == 0, 0.0, (gmy - b.astype(jnp.float32) * gb) / kf_safe
+        kf == 0, 0.0, (gmy - b.astype(acc) * gb) / kf_safe
     )
     return gx, gk.astype(k.dtype), gb.astype(b.dtype)
 
@@ -114,6 +114,15 @@ class BatchNorm(nn.Module):
       two_pass: True computes variance as ``E[(x-mu)^2]`` (a second read of
         the activation); False uses the single-read shifted form (module
         docstring) — the default for large-activation call sites.
+      phase_groups: the input's LAST axis is ``G`` phase-tiled copies of
+        the channel axis (``G*F`` wide, phase-major) that share parameters
+        and statistics — the space-to-depth packed layout
+        (:mod:`fpsg_tpu.nn.vgg`). Statistics are reduced at packed width
+        and folded across phases on the (G, F) small side, and the affine
+        is applied at packed width with phase-tiled k/b, so the big tensor
+        never needs a 5-D reshape (which costs measured layout-conversion
+        passes). Exact: the folded stats are over the identical element
+        set as the unpacked layout's.
     """
 
     feature_axes: Tuple[int, ...] = (-1,)
@@ -127,18 +136,84 @@ class BatchNorm(nn.Module):
                                       # the normalize affine with a
                                       # single-pass custom backward
                                       # (_affine_relu)
+    phase_groups: int = 1
 
     @nn.compact
     def __call__(
         self,
-        x: jax.Array,
+        x: Optional[jax.Array],
         use_running_average: bool,
         shift: Optional[jax.Array] = None,
+        *,
+        stats: Optional[Tuple[jax.Array, jax.Array, int]] = None,
+        return_affine: bool = False,
+        return_shift: bool = False,
+        param_shape_hint: Optional[Tuple[int, ...]] = None,
     ) -> jax.Array:
         """``shift``: per-feature bias of the preceding layer, folded in
         (shape ``param_shape`` or broadcastable to it). The module behaves
         exactly as if it had received ``x + expand(shift)``, without the
-        full-tensor add ever happening."""
+        full-tensor add ever happening.
+
+        Fused-kernel modes (``x=None`` — the big tensor never passes
+        through this module; a Pallas kernel computed its statistics and
+        will apply the affine, see :mod:`fpsg_tpu.nn.fused_stack`):
+
+          - ``stats=(mean, var, n)`` + ``return_affine=True``: mean/var
+            are the batch statistics of the bias-less activation in
+            ``param_shape``; performs the running-stat update exactly as
+            the tensor path would (momentum, Bessel, shift fold) and
+            returns the collapsed per-channel affine ``(k, b_eff)`` f32.
+          - ``return_affine=True`` with ``use_running_average=True``:
+            eval-mode affine from the running estimates.
+          - ``return_shift=True``: returns the single-read stat shift
+            ``stop_grad(running_mean - shift)`` — what a fused kernel
+            subtracts before accumulating; reading it here keeps the
+            running estimate owned by this module.
+        """
+        if x is None:
+            pshape = stats[0].shape if stats is not None \
+                else tuple(param_shape_hint)
+            scale = self.param("scale", nn.initializers.ones, pshape)
+            bias = self.param("bias", nn.initializers.zeros, pshape)
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros(pshape, jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones(pshape, jnp.float32)
+            )
+            shift_p = None
+            if shift is not None:
+                shift_p = jnp.broadcast_to(shift, pshape).astype(jnp.float32)
+            if return_shift:
+                s = ra_mean.value
+                if shift_p is not None:
+                    s = s - shift_p
+                return jax.lax.stop_gradient(s)
+            assert return_affine
+            if use_running_average:
+                mean = ra_mean.value
+                if shift_p is not None:
+                    mean = mean - shift_p
+                var = ra_var.value
+            else:
+                mean, var, n = stats
+                mean = mean.astype(jnp.float32)
+                var = var.astype(jnp.float32)
+                if not self.is_initializing():
+                    m = self.momentum
+                    bessel = n / max(n - 1, 1)
+                    up_mean = mean if shift_p is None else mean + shift_p
+                    ra_mean.value = (
+                        (1.0 - m) * ra_mean.value + m * up_mean
+                    ).astype(ra_mean.value.dtype)
+                    ra_var.value = (
+                        (1.0 - m) * ra_var.value + m * var * bessel
+                    ).astype(ra_var.value.dtype)
+            k = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+            b_eff = bias.astype(jnp.float32) - mean * k
+            return k, b_eff
+
         ndim = x.ndim
         f_axes = _canon(self.feature_axes, ndim)
         g_axes = _canon(self.group_axes, ndim)
@@ -146,7 +221,21 @@ class BatchNorm(nn.Module):
         reduce_axes = tuple(
             i for i in range(ndim) if i not in f_axes and i not in g_axes
         )
-        param_shape = tuple(x.shape[a] for a in sorted(f_axes))
+        pg = self.phase_groups
+        if pg > 1:
+            assert f_axes == (ndim - 1,) and not g_axes, (
+                "phase_groups requires a single trailing feature axis")
+            param_shape: Tuple[int, ...] = (x.shape[-1] // pg,)
+        else:
+            param_shape = tuple(x.shape[a] for a in sorted(f_axes))
+
+        def fold_pg(t):
+            """Fold a keepdims full-width (…, G*F) statistic across the G
+            phases into a (F,) param-shape array (mean over phases — each
+            phase contributes the same number of elements)."""
+            return jnp.mean(
+                jnp.reshape(t, (pg, param_shape[0])), axis=0
+            )
 
         scale = self.param("scale", nn.initializers.ones, param_shape)
         bias = self.param("bias", nn.initializers.zeros, param_shape)
@@ -158,10 +247,13 @@ class BatchNorm(nn.Module):
         )
 
         def expand(v):
-            """Broadcast a (param_shape)-array to the input rank."""
+            """Broadcast a (param_shape)-array to the input rank (tiled
+            across the phase copies when phase_groups > 1)."""
+            if pg > 1:
+                v = jnp.tile(v, pg)
             shape = [1] * ndim
             for a, s in zip(sorted(f_axes), v.shape):
-                shape[a] = s
+                shape[a] = s if pg == 1 else x.shape[a]
             return v.reshape(shape)
 
         # Statistics dtype: at least f32 (f64 under jax_enable_x64 inputs,
@@ -189,6 +281,11 @@ class BatchNorm(nn.Module):
             if self.axis_name is not None:
                 mean_g = jax.lax.pmean(mean_g, self.axis_name)
                 n *= jax.lax.psum(1, self.axis_name)
+            if pg > 1:
+                # fold the packed-width mean across phases (each channel's
+                # true mean over ALL its elements), re-tiled for broadcast
+                mean_g = expand(fold_pg(mean_g))
+                n *= pg
             if self.two_pass:
                 # E[(x-mu)^2]: robust even for near-constant channels at a
                 # large offset (the naive E[x^2]-E[x]^2 cancels
@@ -212,11 +309,31 @@ class BatchNorm(nn.Module):
                     sq_g = jax.lax.pmean(sq_g, self.axis_name)
                 delta = mean_g - s
                 var_g = jnp.maximum(sq_g - delta * delta, 0.0)
+            if pg > 1:
+                # delta/mean are phase-tiled, so folding the per-packed-
+                # channel variance is exactly the full-element-set variance
+                var_g = expand(fold_pg(var_g))
             mean, var = mean_g, var_g
 
-            if not self.is_initializing():
+            if self.is_initializing():
+                pass
+            elif pg > 1:
                 m = self.momentum
                 bessel = n / max(n - 1, 1)
+                sm = fold_pg(
+                    mean_g if shift_e is None else mean_g + shift_e
+                )
+                sv = fold_pg(var_g) * bessel
+                ra_mean.value = (
+                    (1.0 - m) * ra_mean.value + m * sm
+                ).astype(ra_mean.value.dtype)
+                ra_var.value = (
+                    (1.0 - m) * ra_var.value + m * sv
+                ).astype(ra_var.value.dtype)
+            else:
+                m = self.momentum
+                bessel = n / max(n - 1, 1)
+
                 # Collapse group axes as if updated sequentially in index
                 # order: r' = (1-m)^G r + m * sum_g (1-m)^(G-1-g) s_g.
                 def fold(stat_g):

@@ -26,6 +26,7 @@ from typing import Optional, Sequence, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fpsg_tpu.nn.activations import relu
 from fpsg_tpu.nn.normalization import BatchNorm
@@ -35,6 +36,105 @@ VGG16_CFG: Sequence[Union[int, str]] = (
     64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
     512, 512, 512, "M", 512, 512, 512, "M",
 )
+
+# ---------------------------------------------------------------------------
+# Space-to-depth execution of conv block 1 (the 64-channel 224^2 layers)
+# ---------------------------------------------------------------------------
+#
+# The 64-channel layers cannot fill the MXU's 128 lanes and measure
+# 28 TF/s (r3 trace: 9.0 ms for the four 224^2 conv passes, plus a 4.8 TF/s
+# 3->64 wgrad and ~3 ms of 224^2 maxpool/elementwise). Packing width pairs
+# into channels (B,224,224,C) -> (B,224,112,2C) turns both block-1 convs
+# into 128-lane convs (6->128, 128->128): 2x the FLOPs (the packed kernel
+# is half structurally zero) at full-lane MXU rates (~110-150 TF/s for
+# 128-ch shapes) — a large net win for forward, dgrad AND wgrad. (The
+# full 2x2 packing was measured too: its 256-wide convs hit ~145 TF/s but
+# the 4x FLOP inflation on conv1_2's fwd/dgrad/wgrad gave most of the win
+# back; 1x2 keeps lanes full at half the inflation.) The 2x2/2 maxpool
+# that closes the block becomes a row-pair + phase max with no 224-wide
+# layout pass.
+#
+# Exactness: for output column phase dw and column tap v of the original
+# 3x3 kernel, input column 2j+dw+v-1 lives at packed column
+# a = (dw+v-1)//2 + 1 with phase q = (dw+v-1) % 2: scattering
+# W[u, v, c, f] to Wp[u, a, (q,c), (dw,f)] makes the packed conv compute
+# literally the same sums (rows are untouched). Taps that would read
+# outside the original padded image land on packed positions whose weight
+# is zero, so SAME padding is preserved. _S2D_TAP is that (a, q, dw, v)
+# incidence tensor; the kernel transform is one tiny einsum per step with
+# gradients flowing through it (wgrad happens in packed space, 128-lane).
+
+_S2D_TAP = np.zeros((3, 2, 2, 3), np.float32)  # [a, phase, d, v]
+for _a in range(3):
+    for _p in range(2):
+        for _d in range(2):
+            _u = 2 * _a + _p - _d - 1
+            if 0 <= _u < 3:
+                _S2D_TAP[_a, _p, _d, _u] = 1.0
+
+
+def _s2d_pack(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/2, 2C), channel order (dw, c) — an
+    adjacent-dims merge, no transpose."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // 2, 2 * c)
+
+
+def _s2d_kernel(w: jax.Array) -> jax.Array:
+    """(3, 3, Ci, Co) -> (3, 3, 2Ci, 2Co) packed-space equivalent kernel."""
+    tap = jnp.asarray(_S2D_TAP, w.dtype)
+    wp = jnp.einsum("aqdv,uvcf->uaqcdf", tap, w)
+    ci, co = w.shape[2], w.shape[3]
+    return wp.reshape(3, 3, 2 * ci, 2 * co)
+
+
+def _packed_pool_slices(x):
+    """The four 2x2-window elements of a width-packed (B, H, W/2, 2C)
+    tensor, in torch's row-major (dh, dw) window scan order: dh = the row
+    pair, dw = the channel phase. (A two-stage phase-then-row pool was
+    measured slower: its full-row-resolution intermediate costs ~4 ms of
+    extra HBM traffic vs ~2.7 ms of layout passes here.)"""
+    b, h, w2, c2 = x.shape
+    c = c2 // 2
+    x5 = x.reshape(b, h // 2, 2, w2, c2)
+    return [x5[:, :, dh, :, dw * c:(dw + 1) * c]
+            for dh in (0, 1) for dw in (0, 1)]
+
+
+@jax.custom_vjp
+def _phase_max(x: jax.Array) -> jax.Array:
+    """2x2/2 maxpool of the width-packed layout: (B, H, W/2, 2C) ->
+    (B, H/2, W/2, C). Window order matches ``_maxpool_2x2`` (torch's
+    FIRST-maximal tie rule routes identically)."""
+    e = _packed_pool_slices(x)
+    return jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
+
+
+def _phase_max_fwd(x):
+    e = _packed_pool_slices(x)
+    y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
+    idx = jnp.where(
+        e[0] == y, jnp.int8(0),
+        jnp.where(e[1] == y, jnp.int8(1),
+                  jnp.where(e[2] == y, jnp.int8(2), jnp.int8(3))),
+    )
+    return y, idx
+
+
+def _phase_max_bwd(idx, g):
+    b, h2, w2, c = g.shape
+    rows = []
+    for dh in (0, 1):
+        phases = [
+            jnp.where(idx == jnp.int8(2 * dh + dw), g, jnp.zeros((), g.dtype))
+            for dw in (0, 1)
+        ]
+        rows.append(jnp.concatenate(phases, axis=-1))
+    gx = jnp.stack(rows, axis=2)                   # (B, H/2, 2, W/2, 2C)
+    return (gx.reshape(b, 2 * h2, w2, 2 * c),)
+
+
+_phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
 
 
 def _conv_init(key, shape, dtype=jnp.float32):
@@ -74,6 +174,38 @@ class _ConvFold(nn.Module):
         return y, bias
 
 
+class _ConvFoldS2D(nn.Module):
+    """``_ConvFold`` executed in width-packed space: parameters
+    (names/shapes/inits) are identical to ``_ConvFold`` with ``logical_in``
+    input channels, but the input/output are packed ``(B, H, W/2, 2C)``
+    tensors and the conv runs with the ``_s2d_kernel``-transformed weights
+    (module comment above). Bias is returned for BN folding, per original
+    output channel (the 2 phase copies share it)."""
+
+    features: int
+    logical_in: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xp: jax.Array):
+        kernel = self.param("kernel", _conv_init,
+                            (3, 3, self.logical_in, self.features))
+        bound = (1.0 / (9 * self.logical_in)) ** 0.5
+        bias = self.param(
+            "bias",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (self.features,),
+        )
+        dt = self.dtype or jnp.promote_types(xp.dtype, kernel.dtype)
+        y = jax.lax.conv_general_dilated(
+            xp.astype(dt), _s2d_kernel(kernel).astype(dt),
+            (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y, bias
+
+
 def _window_slices(x):
     """The four 2x2-window elements as quarter-size slices, in torch's
     row-major scan order (dh, dw)."""
@@ -89,8 +221,14 @@ def _maxpool_2x2(x: jax.Array) -> jax.Array:
     (torch's tie rule: FIRST maximal element in row-major window order) —
     one fused pass over g+idx, never re-reading x, vs XLA's slow
     select-and-scatter (2.5 ms/step) or eq-mask recompute (7.5 ms/step,
-    both measured on the step trace)."""
+    both measured on the step trace). Requires even H/W (torch's floor
+    behavior on odd dims is not reproduced — the VGG path is always
+    even-sized from a 224 input)."""
     b, h, w, c = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (
+        f"_maxpool_2x2 requires even spatial dims, got ({h}, {w}); use "
+        f"nn.max_pool for odd sizes"
+    )
     return jnp.max(x.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
 
 
@@ -139,22 +277,49 @@ class VGG16BN(nn.Module):
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False  # two-pass BN variance everywhere (exact
                                  # torch-trajectory parity; ~5% slower)
+    s2d_block1: bool = True      # run the 64-channel block in
+                                 # space-to-depth packed space (identical
+                                 # math at full-lane MXU rates; see the
+                                 # module comment at _S2D_TAP)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.dtype is not None:
             x = x.astype(self.dtype)
+
+        def bn(idx):
+            return BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                             two_pass=self.precise_stats, activation="relu",
+                             name=f"features_{idx}")
+
         idx = 0
-        for v in VGG16_CFG:
+        cfg = VGG16_CFG
+        if self.s2d_block1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            # Block 1 (conv 3->64, conv 64->64, maxpool) width-packed: BN
+            # runs at packed width with ``phase_groups=2`` (stats folded
+            # across the 2 phase copies on the small side — the same
+            # element set as the unpacked 224^2 BN, param/stat shapes
+            # unchanged); the closing maxpool is the row-pair + phase max.
+            xp = _s2d_pack(x)
+            for i, ch in ((0, 3), (3, 64)):
+                y, fold = _ConvFoldS2D(64, logical_in=ch, dtype=self.dtype,
+                                       name=f"features_{i}")(xp)
+                xp = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                               two_pass=self.precise_stats,
+                               activation="relu", phase_groups=2,
+                               name=f"features_{i + 1}")(
+                    y, not train, shift=fold)
+            x = _phase_max(xp)
+            idx = 7  # past conv1_1(0..2), conv1_2(3..5), pool(6)
+            cfg = VGG16_CFG[3:]
+        for v in cfg:
             if v == "M":
                 x = _maxpool_2x2(x)
                 idx += 1
                 continue
             y, b = _ConvFold(int(v), dtype=self.dtype,
                              name=f"features_{idx}")(x)
-            x = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                          two_pass=self.precise_stats, activation="relu",
-                          name=f"features_{idx + 1}")(y, not train, shift=b)
+            x = bn(idx + 1)(y, not train, shift=b)
             idx += 3  # conv, bn, relu
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))

@@ -73,6 +73,54 @@ def test_vgg16_shape(rng):
     assert len(convs) == 26
 
 
+def test_vgg_s2d_block1_rewrite_equivalence(rng):
+    """Space-to-depth block 1 (nn/vgg.py _S2D_TAP comment) computes the
+    SAME function as the direct 224^2 layout: identical params, matching
+    forward, running-stat updates, and parameter gradients, in both stat
+    modes. Uses a small even input (VGG is fully convolutional)."""
+    from fpsg_tpu.nn.vgg import VGG16BN
+
+    x = jnp.array(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    for precise in (False, True):
+        direct = VGG16BN(s2d_block1=False, precise_stats=precise)
+        packed = VGG16BN(s2d_block1=True, precise_stats=precise)
+        variables = direct.init(jax.random.PRNGKey(0), x, True)
+        # identical parameter trees: the packed path must accept the
+        # direct path's variables verbatim (checkpoint compatibility)
+        outs = {}
+        for name, mod in [("direct", direct), ("packed", packed)]:
+            y, mut = mod.apply(variables, x, True, mutable=["batch_stats"])
+            outs[name] = (y, mut["batch_stats"])
+        np.testing.assert_allclose(outs["packed"][0], outs["direct"][0],
+                                   rtol=1e-3, atol=5e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4,
+                                                    atol=1e-5),
+            outs["packed"][1], outs["direct"][1],
+        )
+        # eval mode (running stats) agrees too
+        ye_d = direct.apply(variables, x, False)
+        ye_p = packed.apply(variables, x, False)
+        np.testing.assert_allclose(ye_p, ye_d, rtol=1e-3, atol=5e-5)
+
+        def loss(mod):
+            def f(p):
+                y, _ = mod.apply(
+                    {"params": p,
+                     "batch_stats": variables["batch_stats"]},
+                    x, True, mutable=["batch_stats"])
+                return jnp.sum(y ** 2)
+            return jax.grad(f)(variables["params"])
+
+        g_d, g_p = loss(direct), loss(packed)
+        flat_d = jax.tree.leaves(g_d)
+        flat_p = jax.tree.leaves(g_p)
+        for a, b in zip(flat_p, flat_d):
+            np.testing.assert_allclose(
+                a, b, rtol=5e-3, atol=5e-4 * max(1.0, float(np.abs(b).max()))
+            )
+
+
 def test_decoder_shape_and_bounds(rng):
     dec = PrimitiveDecoder()
     h = jnp.array(rng.standard_normal((2, 1536)), jnp.float32)
