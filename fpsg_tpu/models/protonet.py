@@ -196,7 +196,10 @@ class ImgPCProtoNet(nn.Module):
 
         if self.metric == "cd":
             return chamfer_distance(syn, ref).sum()
-        return sinkhorn_emd(syn, ref, reduce="sum")
+        # Training loss: cheap entropic settings — gradients only need the
+        # transport plan's direction; the EVAL metric (reconstruct) uses
+        # the accurate defaults (<1% of exact EMD, ops/emd.py docstring).
+        return sinkhorn_emd(syn, ref, reduce="sum", eps=0.01, n_iters=100)
 
     # -- public entry points ----------------------------------------------
 

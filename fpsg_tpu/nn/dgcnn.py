@@ -5,10 +5,36 @@ kNN graph built on-device by :func:`fpsg_tpu.ops.knn.knn_indices` (replacing
 the CUDA ``topk`` + hardcoded-'cuda' gather at ``src/dgcnn/model.py:13-42``;
 SURVEY.md §2.4 N4).
 
-Layout: ``(B, N, C)`` channels-last. The EdgeConv gather is a single
-``take_along_axis`` producing ``(B, N, k, C)`` neighbor features; each
-Conv2d(k=1) is a Dense over the channel axis (MXU matmul); max-over-k and
-the global max/avg pools are VPU reductions XLA fuses.
+EdgeConv executes in decomposed form (round 3; the direct translation —
+gather -> concat -> Conv2d -> BN -> LeakyReLU -> max — materialized a
+(B, N, k, 2C) edge tensor AND its (B, N, k, F) conv output in HBM and
+re-multiplied the conv weights once per neighbor):
+
+    e_ij = [x_j - x_i || x_i] @ W  =  Z_j + U_i,
+    Z = x @ W_a,  U = x @ (W_b - W_a)        (W = [W_a; W_b], bias-free)
+
+so the conv runs ONCE per point (k x fewer FLOPs), the gather moves onto
+``Z``, and the (B,N,k,*) tensors shrink to one gathered Z. The
+max-over-neighbors then commutes through BN + LeakyReLU:
+
+    max_j LeakyReLU(k*(Z_j + U_i) + b)
+      = LeakyReLU(k * extreme_i + (k*U_i + b)),
+    extreme_i[f] = max_j Z_j[f] if k[f] > 0 else min_j Z_j[f]
+
+(LeakyReLU is strictly increasing; the per-channel BN scale's sign picks
+which extreme). Batch statistics of the full (B, N, k, F) edge-feature
+population are recovered EXACTLY from neighbor sums:
+
+    sum_ij e = sum_i sumZ_i + k * sum_i U_i
+    sum_ij (e - s)^2 = sum_i [sumZsq_i + 2 t_i sumZ_i + k t_i^2],
+    t_i = U_i - s
+
+with sumZ/sumZsq reduced over the gathered neighbors — the edge tensor
+itself never exists. BatchNorm runs in stats-injection mode
+(:class:`fpsg_tpu.nn.normalization.BatchNorm`), still owning
+params/running stats under the same ``bn`` name.
+
+Layout: ``(B, N, C)`` channels-last; each matmul maps to the MXU.
 """
 
 from __future__ import annotations
@@ -28,7 +54,9 @@ def get_graph_feature(x: jax.Array, k: int = 20) -> jax.Array:
     """EdgeConv features ``[x_j - x_i || x_i]``: (B, N, C) → (B, N, k, 2C).
 
     Matches reference ``get_graph_feature`` (dgcnn/model.py:23-42) with the
-    flat CUDA gather replaced by a batched take.
+    flat CUDA gather replaced by a batched take. Kept as the reference-
+    parity building block (and oracle for the decomposed EdgeConv below);
+    the encoder's hot path no longer materializes this tensor.
     """
     idx = knn_indices(x, k=k)                                  # (B, N, k)
     b, n, c = x.shape
@@ -37,6 +65,20 @@ def get_graph_feature(x: jax.Array, k: int = 20) -> jax.Array:
     )                                                          # (B, N, k, C)
     center = jnp.broadcast_to(x[:, :, None, :], (b, n, k, c))
     return jnp.concatenate([neighbors - center, center], axis=-1)
+
+
+class _EdgeConvKernel(nn.Module):
+    """Owns the (2C, F) conv kernel under the same param path as the
+    previous ``nn.Dense(name='conv')`` (checkpoint/golden compatibility)."""
+
+    d_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", torch_linear_kernel_init, (self.d_in, self.features)
+        )
 
 
 class _EdgeConv(nn.Module):
@@ -48,19 +90,67 @@ class _EdgeConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        h = get_graph_feature(x, k=self.k)
+        b, n, c = x.shape
+        f = self.features
+        dt = self.dtype or x.dtype
         # Reference convs are bias-free (dgcnn/model.py:53-56).
-        h = nn.Dense(
-            self.features,
-            use_bias=False,
-            kernel_init=torch_linear_kernel_init,
-            dtype=self.dtype,
-            name="conv",
-        )(h)
-        h = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                      two_pass=self.precise_stats, name="bn")(h, not train)
-        h = jax.nn.leaky_relu(h, 0.2)
-        return jnp.max(h, axis=2)                              # max over k
+        w = _EdgeConvKernel(2 * c, f, name="conv")()
+        # one matmul for both halves: [Z || U] = x @ [W_a ; W_b - W_a]
+        wz = jnp.concatenate(
+            [w[:c], w[c:] - w[:c]], axis=-1
+        ).astype(dt)                                           # (C, 2F)
+        zu = jnp.einsum("bnc,cf->bnf", x.astype(dt), wz)
+        z, u = zu[..., :f], zu[..., f:]
+
+        idx = knn_indices(x, k=self.k)                         # (B, N, k)
+        zn = jnp.take_along_axis(
+            z[:, :, None, :], idx[..., None], axis=1
+        )                                                      # (B, N, k, F)
+        z_max = jnp.max(zn, axis=2)
+        z_min = jnp.min(zn, axis=2)
+
+        bn = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                       two_pass=self.precise_stats, name="bn")
+        n_pop = b * n * self.k
+        if self.axis_name is not None:
+            n_pop *= jax.lax.psum(1, self.axis_name)
+
+        def pm(t):
+            return jax.lax.pmean(t, self.axis_name) \
+                if self.axis_name is not None else t
+
+        if train:
+            uf = u.astype(jnp.float32)
+            sum_z = jnp.sum(zn.astype(jnp.float32), axis=2)    # (B, N, F)
+            sum_zsq = jnp.sum(
+                jnp.square(zn.astype(jnp.float32)), axis=2)
+            mean = pm(
+                jnp.mean(sum_z + self.k * uf, axis=(0, 1))
+            ) / self.k                                         # (F,)
+            if self.precise_stats:
+                s_used = mean                  # exact two-pass algebra
+            else:
+                s_used = bn(None, True, return_shift=True,
+                            param_shape_hint=(f,))
+            t = uf - s_used[None, None, :]
+            esq = pm(jnp.mean(
+                sum_zsq + 2.0 * t * sum_z + self.k * t * t, axis=(0, 1)
+            )) / self.k
+            delta = mean - s_used
+            var = jnp.maximum(esq - delta * delta, 0.0)
+            k_aff, b_aff = bn(None, False, stats=(mean, var, n_pop),
+                              return_affine=True)
+        else:
+            k_aff, b_aff = bn(None, True, return_affine=True,
+                              param_shape_hint=(f,))
+
+        extreme = jnp.where(k_aff[None, None, :] > 0, z_max, z_min)
+        pre = (
+            extreme.astype(jnp.float32) * k_aff[None, None, :]
+            + u.astype(jnp.float32) * k_aff[None, None, :]
+            + b_aff[None, None, :]
+        )
+        return jax.nn.leaky_relu(pre, 0.2).astype(dt)
 
 
 class DGCNNFeat(nn.Module):

@@ -84,12 +84,15 @@ def test_pallas_matches_oracle_potentials(rng):
 
 
 # ---------------------------------------------------------------------------
-# Convention pinning (VERDICT r1 item 4): the default call's exact semantics,
+# Convention pinning (VERDICT r1 item 4): the call's exact semantics,
 # asserted against an INDEPENDENT numpy implementation. This makes "EMD
 # within 1%" falsifiable: the convention is
 #   cost C_ij = ||x_i - y_j||^2, uniform marginals 1/N and 1/M,
-#   value = <P*, C> at the eps=0.01 Sinkhorn fixed point (no entropy term),
-#   reduce='sum' = sum over the batch (reference src/models/utils.py:12-13).
+#   value = <P*, C> at the Sinkhorn fixed point (no entropy term),
+#   reduce='sum' = sum over the batch (reference src/models/utils.py:12-13);
+# and the round-3 DEFAULT eps/n_iters put that value within 1% of TRUE EMD
+# at production shapes (benchmarks/emd_exact_bound.py; N=2048 table in
+# BASELINE.md; pinned here at a CI-sized N).
 # ---------------------------------------------------------------------------
 
 def _emd_sinkhorn_numpy(x, y, eps=0.01, n_iters=3000):
@@ -109,19 +112,34 @@ def _emd_sinkhorn_numpy(x, y, eps=0.01, n_iters=3000):
     return float((p * c).sum())
 
 
-def test_default_call_matches_numpy_oracle(rng):
-    """Default sinkhorn_emd (eps=0.01, annealed) == independent fixed-eps
+def test_fixed_point_matches_numpy_oracle(rng):
+    """sinkhorn_emd at an explicit eps (annealed) == independent fixed-eps
     numpy Sinkhorn at the same fixed point, both cloud-size regimes."""
     for n, m in [(32, 32), (48, 32)]:
         x = rng.standard_normal((n, 3)).astype(np.float32) * 0.4
         y = rng.standard_normal((m, 3)).astype(np.float32) * 0.4
         ours = float(
             sinkhorn_emd(jnp.array(x)[None], jnp.array(y)[None],
-                         n_iters=400)[0]
+                         eps=0.01, n_iters=400)[0]
         )
         ref = _emd_sinkhorn_numpy(x, y, eps=0.01)
         np.testing.assert_allclose(ours, ref, rtol=2e-3,
                                    err_msg=f"(n={n}, m={m})")
+
+
+def test_production_default_within_1pct_of_exact(rng):
+    """The DEFAULT call (the evaluator's metric) lands within 1% of TRUE
+    EMD (exact assignment) — the tuned accuracy regime, pinned at a
+    CI-sized N (the N=2048 production measurement is in BASELINE.md:
+    0.21% mean, <1% max over 20 random + reconstruction-like pairs)."""
+    for scale in (1.0, 0.15):   # far-apart and reconstruction-like pairs
+        x = rng.standard_normal((256, 3)).astype(np.float32) * 0.4
+        y = x * (1 - scale) + scale * rng.standard_normal(
+            (256, 3)).astype(np.float32) * 0.4
+        ours = float(sinkhorn_emd(
+            jnp.array(x)[None], jnp.array(y)[None], impl="oracle")[0])
+        exact = exact_emd_sq(x, y)
+        assert abs(ours - exact) / exact < 0.01, (scale, ours, exact)
 
 
 def test_emd_wrapper_is_sum_reduced_default(rng):

@@ -166,3 +166,39 @@ def test_episodic_eval_chunking():
                          n_episodes=6, max_chunk=4)  # divisor chosen: 3
     assert out["cd_loss"].shape == (6,)
     assert np.isfinite(out["cd_loss"]).all()
+
+
+def test_e_gt1_running_stats_divergence_bound():
+    """E>1 running-stat semantics (train/step.py:110-113): the step AVERAGES
+    per-episode updates, r_avg = (1-m) r + m mean(s_i); the reference
+    applies them SEQUENTIALLY, r_seq = (1-m)^E r + m sum (1-m)^(E-1-i) s_i.
+    Both agree exactly at E=1 and at the stationary point (all s_i == r);
+    otherwise the per-step divergence is bounded by
+
+        |r_avg - r_seq| <= A |r - wbar| + m |sbar - wbar|,
+        A = (1-m) - (1-m)^E,  wbar = the sequential rule's weighted mean,
+
+    i.e. O(m) relative to the stat spread per step — both rules share the
+    same fixed point. This pins the documented divergence (PARITY.md) with
+    numbers instead of prose."""
+    rng = np.random.default_rng(0)
+    m = 0.1
+    for e in (2, 4, 8):
+        r = rng.standard_normal(64)
+        s = rng.standard_normal((e, 64)) * 0.5 + r  # stats near r
+        r_avg = (1 - m) * r + m * s.mean(0)
+        r_seq = r.copy()
+        for i in range(e):
+            r_seq = (1 - m) * r_seq + m * s[i]
+        a = (1 - m) - (1 - m) ** e
+        w = m * (1 - m) ** np.arange(e - 1, -1, -1)
+        wbar = (w[:, None] * s).sum(0) / w.sum()
+        bound = a * np.abs(r - wbar) + m * np.abs(s.mean(0) - wbar)
+        assert (np.abs(r_avg - r_seq) <= bound + 1e-12).all()
+        # stationary point: exact agreement
+        s_const = np.broadcast_to(r, (e, 64))
+        r_avg_c = (1 - m) * r + m * s_const.mean(0)
+        r_seq_c = r.copy()
+        for i in range(e):
+            r_seq_c = (1 - m) * r_seq_c + m * s_const[i]
+        np.testing.assert_allclose(r_avg_c, r_seq_c, rtol=1e-12)
