@@ -102,12 +102,17 @@ class _EdgeConv(nn.Module):
         zu = jnp.einsum("bnc,cf->bnf", x.astype(dt), wz)
         z, u = zu[..., :f], zu[..., f:]
 
-        idx = knn_indices(x, k=self.k)                         # (B, N, k)
-        zn = jnp.take_along_axis(
-            z[:, :, None, :], idx[..., None], axis=1
-        )                                                      # (B, N, k, F)
-        z_max = jnp.max(zn, axis=2)
-        z_min = jnp.min(zn, axis=2)
+        # Neighbor aggregates of Z over the kNN graph: one fused Pallas
+        # pass on TPU (ops/edgeconv.py — the XLA gather runs at 58 GB/s
+        # and its backward scatter-add at ~4 GB/s, measured); the
+        # gather-based oracle elsewhere.
+        from fpsg_tpu.ops.edgeconv import knn_aggregate, knn_aggregate_oracle
+
+        if jax.default_backend() == "tpu" and n % 128 == 0:
+            z_max, z_min, sum_z, sum_zsq = knn_aggregate(x, z, self.k)
+        else:
+            z_max, z_min, sum_z, sum_zsq = knn_aggregate_oracle(
+                x, z, self.k)
 
         bn = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
                        two_pass=self.precise_stats, name="bn")
@@ -121,9 +126,6 @@ class _EdgeConv(nn.Module):
 
         if train:
             uf = u.astype(jnp.float32)
-            sum_z = jnp.sum(zn.astype(jnp.float32), axis=2)    # (B, N, F)
-            sum_zsq = jnp.sum(
-                jnp.square(zn.astype(jnp.float32)), axis=2)
             mean = pm(
                 jnp.mean(sum_z + self.k * uf, axis=(0, 1))
             ) / self.k                                         # (F,)
