@@ -101,16 +101,122 @@ def _packed_pool_slices(x):
             for dh in (0, 1) for dw in (0, 1)]
 
 
+# --- Pallas packed-pool kernels (TPU): the XLA lowering of the 5-D view
+# above materializes ~2.7 ms/step of layout-conversion passes (r3 step
+# trace, vgg.py pool rows); in-kernel the row split/merge is free.
+
+def _pool_fwd_kernel(x_ref, y_ref, idx_ref):
+    h, w2, c2 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    c = c2 // 2
+    x5 = x_ref[0].reshape(h // 2, 2, w2, c2)
+    e = [x5[:, dh, :, dw * c:(dw + 1) * c]
+         for dh in (0, 1) for dw in (0, 1)]
+    y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
+    y_ref[0] = y
+    # compares in f32 (no native bf16 compare on v5e) and the index built
+    # at i32 tiling, converted once (i1->i8 select needs a relayout
+    # Mosaic rejects)
+    ef = [t.astype(jnp.float32) for t in e]
+    yf = y.astype(jnp.float32)
+    idx32 = jnp.where(
+        ef[0] == yf, 0,
+        jnp.where(ef[1] == yf, 1, jnp.where(ef[2] == yf, 2, 3)),
+    )
+    idx_ref[0] = idx32.astype(jnp.int8)
+
+
+def _pool_bwd_kernel(idx_ref, g_ref, gx_ref):
+    idx = idx_ref[0].astype(jnp.int32)
+    g = g_ref[0]
+    z = jnp.zeros((), g.dtype)
+    rows = []
+    for dh in (0, 1):
+        phases = [jnp.where(idx == (2 * dh + dw), g, z)
+                  for dw in (0, 1)]
+        rows.append(jnp.concatenate(phases, axis=-1)[:, None])
+    h2, w2, c2 = rows[0].shape[0], rows[0].shape[2], rows[0].shape[3]
+    gx_ref[0] = jnp.concatenate(rows, axis=1).reshape(2 * h2, w2, c2)
+
+
+def _pool_row_tile(h2: int) -> int:
+    th = 1
+    for cand in (32, 28, 16, 14, 8, 7, 4, 2):
+        if h2 % cand == 0:
+            th = cand
+            break
+    return th
+
+
+def _pool_pallas_fwd(x):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fpsg_tpu.ops._pallas_utils import interpret_default
+
+    b, h, w2, c2 = x.shape
+    th = _pool_row_tile(h // 2)
+    return pl.pallas_call(
+        _pool_fwd_kernel,
+        grid=(b, (h // 2) // th),
+        in_specs=[pl.BlockSpec((1, 2 * th, w2, c2),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((1, th, w2, c2 // 2),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w2, c2 // 2),
+                         lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h // 2, w2, c2 // 2), x.dtype),
+            jax.ShapeDtypeStruct((b, h // 2, w2, c2 // 2), jnp.int8),
+        ],
+        interpret=interpret_default(),
+    )(x)
+
+
+def _pool_pallas_bwd(idx, g):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from fpsg_tpu.ops._pallas_utils import interpret_default
+
+    b, h2, w2, c = g.shape
+    th = _pool_row_tile(h2)
+    return pl.pallas_call(
+        _pool_bwd_kernel,
+        grid=(b, h2 // th),
+        in_specs=[
+            pl.BlockSpec((1, th, w2, c), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w2, c), lambda bi, ti: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * th, w2, 2 * c),
+                               lambda bi, ti: (bi, ti, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * h2, w2, 2 * c), g.dtype),
+        interpret=interpret_default(),
+    )(idx, g)
+
+
 @jax.custom_vjp
 def _phase_max(x: jax.Array) -> jax.Array:
     """2x2/2 maxpool of the width-packed layout: (B, H, W/2, 2C) ->
     (B, H/2, W/2, C). Window order matches ``_maxpool_2x2`` (torch's
-    FIRST-maximal tie rule routes identically)."""
+    FIRST-maximal tie rule routes identically). Pallas kernels on TPU
+    (the XLA 5-D-view lowering costs layout passes); sliced jnp
+    elsewhere."""
+    if jax.default_backend() == "tpu":
+        return _pool_pallas_fwd(x)[0]
     e = _packed_pool_slices(x)
     return jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
 
 
 def _phase_max_fwd(x):
+    if jax.default_backend() == "tpu":
+        y, idx = _pool_pallas_fwd(x)
+        return y, idx
     e = _packed_pool_slices(x)
     y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
     idx = jnp.where(
@@ -122,6 +228,8 @@ def _phase_max_fwd(x):
 
 
 def _phase_max_bwd(idx, g):
+    if jax.default_backend() == "tpu":
+        return (_pool_pallas_bwd(idx, g),)
     b, h2, w2, c = g.shape
     rows = []
     for dh in (0, 1):

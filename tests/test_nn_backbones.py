@@ -171,3 +171,31 @@ def test_templates(rng):
     ico = icosphere_vertices(2)
     np.testing.assert_allclose(np.linalg.norm(ico, axis=1), 1.0, atol=1e-6)
     assert ico.shape[0] == 162  # 10*4^2+2
+
+
+def test_packed_pool_pallas_matches_xla(rng):
+    """The Pallas packed-pool kernels (nn/vgg.py) == the sliced jnp path:
+    forward, tie indices, and routed backward (interpreter mode)."""
+    from fpsg_tpu.nn import vgg as V
+
+    x = jnp.array(rng.standard_normal((2, 8, 4, 32)), jnp.float32)
+    e = V._packed_pool_slices(x)
+    y_ref = np.maximum.reduce([np.asarray(t) for t in e])
+    y_pl, idx_pl = V._pool_pallas_fwd(x)
+    np.testing.assert_array_equal(np.asarray(y_pl), y_ref)
+
+    g = jnp.array(rng.standard_normal(y_ref.shape), jnp.float32)
+    gx_pl = V._pool_pallas_bwd(idx_pl, g)
+    # reference routed backward (the XLA path)
+    idx_ref = np.asarray(
+        np.where(e[0] == y_ref, 0,
+                 np.where(e[1] == y_ref, 1,
+                          np.where(e[2] == y_ref, 2, 3))), np.int8)
+    np.testing.assert_array_equal(np.asarray(idx_pl), idx_ref)
+    rows = []
+    for dh in (0, 1):
+        phases = [np.where(idx_ref == 2 * dh + dw, np.asarray(g), 0.0)
+                  for dw in (0, 1)]
+        rows.append(np.concatenate(phases, axis=-1))
+    gx_ref = np.stack(rows, axis=2).reshape(2, 8, 4, 32)
+    np.testing.assert_array_equal(np.asarray(gx_pl), gx_ref)
