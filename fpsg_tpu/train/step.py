@@ -138,7 +138,76 @@ def make_train_step(
     else:
         fn = train_step
     donate_argnums = (0,) if donate else ()
+    if mesh is None:
+        # Pin every TrainState leaf to the DEFAULT (major-to-minor)
+        # layout. Left to auto layout assignment, XLA picks the decoder
+        # conditioning einsum's preferred layout for the big node-MLP
+        # kernels ({3,1,2,0:T(4,128)}) as the ENTRY layout of params /
+        # mu / nu — while the fused Pallas decoder kernels and the Adam
+        # update emit the default layout, so every step paid three
+        # ~151 MB transposing copies per big weight (measured ~2.7
+        # ms/step on the r3 trace, "data formatting" rows). With pinned
+        # entry/exit layouts the layout flip rides the bf16 sliced
+        # convert instead. Rank is per-leaf, so the Format pytree is
+        # built lazily from the first state passed in.
+        return _jit_with_default_state_layouts(fn, donate_argnums)
     return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def _jit_with_default_state_layouts(fn, donate_argnums):
+    """jit ``fn(state, corpus, key)`` with every state leaf's entry AND
+    exit layout pinned to major-to-minor (see make_train_step)."""
+    from jax.experimental.layout import Format, Layout
+
+    cache = {}
+
+    def wrapper(state, corpus, key):
+        if "jit" not in cache:
+            if jax.default_backend() != "tpu":
+                # Pinning layouts changes XLA:CPU fusion boundaries just
+                # enough to drift the scan-vs-sequential trajectories at
+                # ~1e-4; off-TPU there is nothing to win, so keep the
+                # plain jit there (scan equivalence stays testably exact).
+                cache["jit"] = jax.jit(fn, donate_argnums=donate_argnums)
+                cache["fmt"] = None
+                return cache["jit"](state, corpus, key)
+            default_sharding = jax.sharding.SingleDeviceSharding(
+                jax.devices()[0])
+
+            def leaf_format(x):
+                sh = getattr(x, "sharding", None) or default_sharding
+                return Format(
+                    Layout(tuple(range(jnp.ndim(x)))), sh)
+
+            fmt = jax.tree.map(leaf_format, state)
+            cache["fmt"] = fmt
+            cache["jit"] = jax.jit(
+                fn,
+                donate_argnums=donate_argnums,
+                in_shardings=(fmt, None, None),
+                out_shardings=(fmt, None),
+            )
+        # jit with explicit entry layouts REJECTS committed args in any
+        # other layout (it will not silently relayout). The state out of
+        # init_model (or a checkpoint restore) carries whatever layouts
+        # its producing computation chose, so re-lay out exactly the
+        # mismatched leaves. States produced by this very step (the
+        # steady case) already match and are passed through untouched —
+        # device_put is NOT a no-op on matching layouts here (it
+        # round-trips the axon tunnel, ~50 ms/state), so the comparison
+        # is load-bearing, and passing originals keeps donation intact.
+        def _relayout(x, f):
+            cur = getattr(x, "format", None)
+            if (cur is not None and cur.layout is not None
+                    and cur.layout.major_to_minor == f.layout.major_to_minor):
+                return x  # the pin only names the dim order, not tiling
+            return jax.device_put(x, f)
+
+        if cache["fmt"] is not None:
+            state = jax.tree.map(_relayout, state, cache["fmt"])
+        return cache["jit"](state, corpus, key)
+
+    return wrapper
 
 
 def make_eval_step(model, n_support: int, n_query: int, with_emd: bool = True):
