@@ -49,6 +49,11 @@ def main():
     )
     step = make_train_step(model, tx, n_support=S, n_query=Q,
                            n_episodes=1, donate=False)
+    # One priming call: its OUTPUT state carries the step's pinned
+    # entry/exit layouts. Tracing with the raw init state instead would
+    # add a per-call host-inserted relayout transfer (~2.5 ms of copy
+    # ops that the donating production path never runs).
+    state, _ = step(state, corpus, key)
     trace_and_parse(lambda st, k: step(st, corpus, k),
                     (state, key), "/tmp/step_trace", steps=3)
 

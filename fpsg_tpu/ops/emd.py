@@ -57,6 +57,15 @@ from fpsg_tpu.ops._pallas_utils import interpret_default, pad_points
 # budget (measured in benchmarks/emd_exact_bound.py; BASELINE.md r3).
 DEFAULT_TOL = 1e-6
 
+# Post-anneal over-relaxation factor (SOR-Sinkhorn; see sinkhorn_emd's
+# docstring). 1.0 = plain Sinkhorn; the production default is set from
+# the measured accuracy/time sweep in benchmarks/emd_exact_bound.py
+# (r3: omega=1.6 with a 180-iteration eps0=0.1 anneal measures 0.31%
+# mean / 0.82% max assignment error at N=2048 in 263 ms per 8 clouds —
+# vs 0.21%/0.59% at 392 ms for 600 plain iterations from eps0=1.0;
+# omega>=1.8 oscillates at small eps).
+DEFAULT_OMEGA = 1.6
+
 
 # ---------------------------------------------------------------------------
 # Pallas kernel: VMEM-resident log-domain Sinkhorn iterations
@@ -81,7 +90,8 @@ def _eps_at(i, eps: float, n_iters: int, anneal_frac: float, eps0: float):
 
 
 def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
-                             anneal_frac: float, eps0: float, tol: float):
+                             anneal_frac: float, eps0: float, tol: float,
+                             omega: float = 1.0):
     t_anneal = max(int(n_iters * anneal_frac), 1)
 
     def kernel(x_ref, y_ref, f_ref, g_ref):
@@ -110,13 +120,23 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
         def one_iter(carry):
             it, _ = carry
             e = _eps_at(it, eps, n_iters, anneal_frac, eps0)
+            # Over-relaxation (SOR-Sinkhorn, Thibault et al. 2017): blend
+            # w * plain update + (1-w) * previous potential. Applied only
+            # once the anneal has settled (near the fixed point, where
+            # the plain update's contraction factor approaches 1 at small
+            # eps and extrapolation is both safe and ~2x+ faster).
+            w = jnp.where(it > t_anneal, jnp.float32(omega),
+                          jnp.float32(1.0))
 
             # --- f_i = -e * LSE_j[(g_j - c_ij)/e + log_nu] --------------
-            # delta tracks max_i |f_new - f_old|: the sup-norm step of the
-            # Hilbert-metric contraction. Once the anneal has settled, a
-            # small step bounds the remaining row-marginal violation
+            # delta tracks max_i |f_new - f_old| of the UNRELAXED step:
+            # the sup-norm step of the Hilbert-metric contraction. Once
+            # the anneal has settled, a small step bounds the remaining
+            # row-marginal violation
             # (|log sum_j P_ij - log mu_i| <= delta/e), which bounds the
-            # transport-cost error — the early-exit criterion.
+            # transport-cost error — the early-exit criterion. (Under
+            # over-relaxation the stored iterate differs, but delta → 0
+            # still iff the fixed point is reached.)
             def f_tile(i, delta):
                 c = cost_tile(i)
                 v = (g_ref[0, 0, :][None, :] - c) / e + log_nu
@@ -126,7 +146,8 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
                 )
                 f_old = f_ref[0, 0, pl.ds(i * tile_n, tile_n)]
                 f_new = -e * lse
-                f_ref[0, 0, pl.ds(i * tile_n, tile_n)] = f_new
+                f_ref[0, 0, pl.ds(i * tile_n, tile_n)] = (
+                    f_old + w * (f_new - f_old))
                 return jnp.maximum(delta, jnp.max(jnp.abs(f_new - f_old)))
 
             delta = jax.lax.fori_loop(0, n_tiles, f_tile, jnp.float32(0.0))
@@ -150,7 +171,9 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
             run_max, run_sum = jax.lax.fori_loop(
                 0, n_tiles, g_tile, (m0, s0)
             )
-            g_ref[0, 0, :] = -e * (jnp.log(run_sum) + run_max)
+            g_old = g_ref[0, 0, :]
+            g_new = -e * (jnp.log(run_sum) + run_max)
+            g_ref[0, 0, :] = g_old + w * (g_new - g_old)
             return it + 1, delta
 
         if tol > 0.0:
@@ -176,7 +199,8 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "eps", "n_iters", "tile_n", "interpret", "anneal_frac", "eps0", "tol"
+        "eps", "n_iters", "tile_n", "interpret", "anneal_frac", "eps0",
+        "tol", "omega",
     ),
 )
 def _sinkhorn_potentials_pallas(
@@ -190,6 +214,7 @@ def _sinkhorn_potentials_pallas(
     anneal_frac: float = 0.5,
     eps0: float = 1.0,
     tol: float = 0.0,
+    omega: float = 1.0,
 ):
     """Converged Sinkhorn potentials (f (B,N), g (B,M)) via the VMEM kernel."""
     if interpret is None:
@@ -206,7 +231,7 @@ def _sinkhorn_potentials_pallas(
     f, g = pl.pallas_call(
         _sinkhorn_kernel_factory(
             n_iters, float(eps), tile_n, float(anneal_frac), float(eps0),
-            float(tol),
+            float(tol), float(omega),
         ),
         grid=(b,),
         in_specs=[
@@ -241,34 +266,44 @@ def _logsumexp(a: jax.Array, axis: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "eps", "n_iters", "cost", "reduce", "impl", "anneal_frac", "eps0",
-        "tol",
+        "tol", "omega",
     ),
 )
 def sinkhorn_emd(
     x: jax.Array,
     y: jax.Array,
     *,
-    eps: float = 2.5e-4,
-    n_iters: int = 600,
+    eps: float = 2e-4,
+    n_iters: int = 360,
     cost: str = "sqeuclidean",
     reduce: Optional[str] = None,
     impl: str = "auto",
     anneal_frac: float = 0.5,
-    eps0: float = 1.0,
+    eps0: float = 0.1,
     tol: float = DEFAULT_TOL,
+    omega: float = DEFAULT_OMEGA,
 ) -> jax.Array:
     """Sinkhorn-approximate EMD between point clouds.
 
     Default accuracy (round 3, measured vs exact assignment — scipy LSA on
     full 2048x2048 cost matrices, benchmarks/emd_exact_bound.py): the
-    entropic bias of the previous default (eps=0.01) is the SAME order as
+    entropic bias of the r2 default (eps=0.01) is the SAME order as
     the metric itself at production shapes (+96% mean on unit-ball/
     reconstruction pairs, N=2048 — exact EMDs are ~0.005-0.013 and the
-    bias scales ~eps^1.4). The tuned default (eps=2.5e-4, 600 annealed
-    iterations, sup-norm early exit) measures **0.21% mean / <1% max**
-    relative error vs exact EMD at N=2048 — the "EMD within 1%" claim is
-    a measured statement. Training-loss call sites that only need useful
-    gradients pass cheaper explicit settings.
+    bias scales ~eps^1.4). The tuned default (eps=2e-4, 360 iterations:
+    a 180-iteration geometric anneal from eps0=0.1 then omega=1.6
+    over-relaxed cleanup, sup-norm early exit) measures **0.31% mean /
+    0.82% max** relative error vs exact EMD at N=2048 — the "EMD within
+    1%" claim is a measured statement — at 1.49x less device time than
+    the initial (600-iteration, eps0=1.0, plain) r3 tuning (392 -> 263
+    ms per 8 clouds). The over-relaxed iterate converges to the same
+    entropic fixed point (omega-independent); pushing PAST ~400
+    iterations removes the small negative non-convergence residue and
+    exposes the full +~0.4% entropic bias of eps=2e-4, so more
+    iterations do NOT monotonically reduce assignment error — eps and
+    the iteration budget are tuned jointly against exact assignment. Training-loss
+    call sites that only need useful gradients pass cheaper explicit
+    settings.
 
     Args:
       x: ``(B, N, D)`` cloud.
@@ -291,6 +326,16 @@ def sinkhorn_emd(
             row-marginal violation far below the entropic bias itself —
             measured identical EMD values to 6 decimals at production
             shapes (benchmarks/emd_exact_bound.py; BASELINE.md r3 table).
+      omega: post-anneal over-relaxation factor (SOR-Sinkhorn, Thibault
+            et al. 2017): each potential update stores
+            ``old + omega * (new - old)``. 1.0 = plain Sinkhorn. At small
+            eps the plain update's linear contraction factor approaches 1,
+            so omega in (1, 2) cuts the post-anneal iteration count
+            roughly ``1/(2 - omega)``-fold at the same fixed point (the
+            fixed point is omega-independent); the early-exit delta is
+            measured on the UNRELAXED step so ``tol`` semantics are
+            unchanged. The default is set from the measured sweep in
+            benchmarks/emd_exact_bound.py.
 
     Returns:
       Transport cost per batch element (or reduced scalar).
@@ -318,7 +363,7 @@ def sinkhorn_emd(
         f, g = _sinkhorn_potentials_pallas(
             jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
             eps=eps, n_iters=n_iters,
-            anneal_frac=anneal_frac, eps0=eps0, tol=tol,
+            anneal_frac=anneal_frac, eps0=eps0, tol=tol, omega=omega,
         )
     else:
         t_anneal = max(int(n_iters * anneal_frac), 1)
@@ -326,14 +371,18 @@ def sinkhorn_emd(
         def body(carry):
             f, g, it, _ = carry
             e = _eps_at(it, eps, n_iters, anneal_frac, eps0)
+            w = jnp.where(it > t_anneal, jnp.float32(omega),
+                          jnp.float32(1.0))
             # f_i = -e * LSE_j[(g_j - C_ij)/e + log nu_j]
             f_new = -e * _logsumexp(
                 (g[..., None, :] - c_sg) / e + log_nu, axis=-1
             )
             delta = jnp.max(jnp.abs(f_new - f))
-            g = -e * _logsumexp(
+            f_new = f + w * (f_new - f)
+            g_new = -e * _logsumexp(
                 (f_new[..., :, None] - c_sg) / e + log_mu, axis=-2
             )
+            g = g + w * (g_new - g)
             return f_new, g, it + 1, delta
 
         def cond(carry):
