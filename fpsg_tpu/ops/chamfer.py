@@ -224,6 +224,11 @@ def _chamfer_fwd(x, y, w1, w2, impl):
 
 
 def _chamfer_bwd(w1, w2, impl, res, g):
+    """Index-routed backward: two XLA gathers + two Pallas mask-scatter
+    kernels (ops/scatter.py). Fusing the gather INTO the scatter's mask
+    kernel was measured and REJECTED both ways on the step trace (see
+    ops/scatter.py note): the composition below is the fastest measured
+    form (1.2 ms at B=32, N=M=2048)."""
     x, y, ixy, iyx = res
     n, m = x.shape[-2], y.shape[-2]
     gn = (g * (w1 * 2.0 / n))[..., None, None].astype(jnp.float32)

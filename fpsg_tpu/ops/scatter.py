@@ -20,6 +20,15 @@ nothing is padded to 128 MXU lanes; the per-d unroll keeps only one
 Reference behavior: torch ``Tensor.index_add_`` /
 ``jax.ops.segment_sum`` as used by Kaolin-style chamfer backward
 (SURVEY.md §2.4 N1).
+
+Measured and REJECTED (step trace, B=32, N=M=2048): fusing the chamfer
+backward's GATHER (y[idx]) into this mask kernel, so one mask build
+serves both directions of the index routing. Neither variant beats the
+plain composition (XLA take_along_axis + this kernel, 1.2 ms/step):
+an MXU one-hot matmul gather wastes >90% of each K=M systolic pass on
+Dp=8 output lanes (2.9 ms), and a per-column VPU mask gather doubles
+the number of (TN, M) mask passes (1.7 ms) — the extra passes cost
+more than the 41 GB/s XLA gather they replace.
 """
 
 from __future__ import annotations
