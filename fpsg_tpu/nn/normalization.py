@@ -371,6 +371,19 @@ class BatchNorm(nn.Module):
                     decay * ra_var.value + new_var
                 ).astype(ra_var.value.dtype)
 
+        if return_affine:
+            # Tensor-path affine extraction: statistics (and running
+            # updates) computed from x exactly as the applying path
+            # would, but the elementwise pass over the big tensor is the
+            # CALLER's to fuse or commute — e.g. through a following
+            # max-pool, where relu(k*max_n(y) + b) == max_n relu(k*y+b)
+            # per channel (monotone affine for k>0; min_n for k<0), so
+            # the activated tensor never materializes (nn/pointnet.py).
+            k = jax.lax.rsqrt(var + self.epsilon) * expand(scale).astype(
+                stat_dtype)
+            b_eff = expand(bias).astype(stat_dtype) - mean * k
+            return k, b_eff
+
         out_dtype = self.dtype or x.dtype
         fuse_relu = self.activation == "relu"
         if out_dtype == jnp.bfloat16 or fuse_relu:
