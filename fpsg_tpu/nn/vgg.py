@@ -245,6 +245,60 @@ def _phase_max_bwd(idx, g):
 _phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
 
 
+# test hook: force the one-pass pool-moments kernel (interpret mode) on
+# CPU so the fused BN→pool wiring is CI-covered (tests/test_pool_moments.py)
+_FORCE_POOL_KERNEL = False
+
+
+def _bn_pool_fused(y, fold, bn_mod, out_dtype):
+    """BatchNorm(+relu) then 2x2 maxpool with the per-channel affine
+    COMMUTED through the pool, on a width-packed conv output
+    ``(B, H, W/2, 2C)`` (``vgg._s2d_pack`` view — free for unpacked NHWC,
+    the native layout for the space-to-depth block 1).
+
+    ``max_w relu(k*y + b) == relu(k*[max_w y | min_w y] + b)`` per
+    channel (monotone affine for k > 0, antitone for k < 0; relu/casts
+    monotone — bitwise equal even under bf16 rounding). The normalized/
+    activated full-size tensor and its relu backward residual never
+    materialize: one Pallas read of the raw conv output yields the
+    single-read BN statistics AND the windowed max/min with first-index
+    routing (ops/pool_moments.py); the affine+relu runs on the 4x-smaller
+    pooled values. The BN module keeps owning params/running stats via
+    its stats-injection mode. Only valid in train mode with single-read
+    stats (callers fall back to the tensor path otherwise).
+
+    Reference semantics: ``maxpool2d(relu(bn(conv(x))))`` — the
+    torchvision VGG16-bn feature stack (src/models/image_net.py:13-24).
+    """
+    from fpsg_tpu.ops.pool_moments import pool_moments
+
+    c2 = y.shape[-1]
+    c = c2 // 2
+    s_c = bn_mod(None, True, shift=fold, return_shift=True,
+                 param_shape_hint=(c,))
+    zs, zq, ymax, ymin = pool_moments(y, jnp.tile(s_c, 2))
+    # fold the two width phases (same logical channels — the
+    # normalization.phase_groups exactness argument applies verbatim)
+    zs = zs[:c] + zs[c:]
+    zq = zq[:c] + zq[c:]
+    n = y.shape[0] * y.shape[1] * y.shape[2] * 2
+    ax = bn_mod.axis_name
+    if ax is not None:
+        zs = jax.lax.psum(zs, ax)
+        zq = jax.lax.psum(zq, ax)
+        n = n * jax.lax.psum(1, ax)
+    mz = zs / n
+    mean = mz + s_c
+    var = jnp.maximum(zq / n - mz * mz, 0.0)
+    k2, b2 = bn_mod(None, False, shift=fold, stats=(mean, var, n),
+                    return_affine=True)                  # (C,) f32
+    od = out_dtype or y.dtype
+    cd = od if od == jnp.bfloat16 else k2.dtype
+    sel = jnp.where(k2 > 0, ymax.astype(cd), ymin.astype(cd))
+    pooled = jnp.maximum(sel * k2.astype(cd) + b2.astype(cd), 0)
+    return pooled.astype(od)
+
+
 def _conv_init(key, shape, dtype=jnp.float32):
     """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))."""
     fan_in = shape[0] * shape[1] * shape[2]  # kh * kw * in_ch (HWIO)
@@ -400,6 +454,15 @@ class VGG16BN(nn.Module):
                              two_pass=self.precise_stats, activation="relu",
                              name=f"features_{idx}")
 
+        from fpsg_tpu.ops.pool_moments import supports_kernel
+
+        def fused_ok(y):
+            # Pre-pool BN sites commute the affine through the pool and
+            # take the one-read stats+max/min kernel (train-mode
+            # single-read stats only; the tensor path is the fallback).
+            return train and not self.precise_stats and (
+                supports_kernel(y) or _FORCE_POOL_KERNEL)
+
         idx = 0
         cfg = VGG16_CFG
         if self.s2d_block1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
@@ -407,28 +470,48 @@ class VGG16BN(nn.Module):
             # runs at packed width with ``phase_groups=2`` (stats folded
             # across the 2 phase copies on the small side — the same
             # element set as the unpacked 224^2 BN, param/stat shapes
-            # unchanged); the closing maxpool is the row-pair + phase max.
+            # unchanged); the closing maxpool is the row-pair + phase max
+            # (fused with conv1_2's BN when the kernel path is on).
             xp = _s2d_pack(x)
-            for i, ch in ((0, 3), (3, 64)):
-                y, fold = _ConvFoldS2D(64, logical_in=ch, dtype=self.dtype,
-                                       name=f"features_{i}")(xp)
-                xp = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                               two_pass=self.precise_stats,
-                               activation="relu", phase_groups=2,
-                               name=f"features_{i + 1}")(
-                    y, not train, shift=fold)
-            x = _phase_max(xp)
+            y, fold = _ConvFoldS2D(64, logical_in=3, dtype=self.dtype,
+                                   name="features_0")(xp)
+            xp = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                           two_pass=self.precise_stats,
+                           activation="relu", phase_groups=2,
+                           name="features_1")(y, not train, shift=fold)
+            y, fold = _ConvFoldS2D(64, logical_in=64, dtype=self.dtype,
+                                   name="features_3")(xp)
+            bn1 = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                            two_pass=self.precise_stats,
+                            activation="relu", phase_groups=2,
+                            name="features_4")
+            if fused_ok(y):
+                x = _bn_pool_fused(y, fold, bn1, self.dtype)
+            else:
+                x = _phase_max(bn1(y, not train, shift=fold))
             idx = 7  # past conv1_1(0..2), conv1_2(3..5), pool(6)
             cfg = VGG16_CFG[3:]
-        for v in cfg:
+        j = 0
+        while j < len(cfg):
+            v = cfg[j]
             if v == "M":
                 x = _maxpool_2x2(x)
                 idx += 1
+                j += 1
                 continue
             y, b = _ConvFold(int(v), dtype=self.dtype,
                              name=f"features_{idx}")(x)
-            x = bn(idx + 1)(y, not train, shift=b)
+            bn_mod = bn(idx + 1)
+            if j + 1 < len(cfg) and cfg[j + 1] == "M":
+                yp = _s2d_pack(y)  # free width-merge view
+                if fused_ok(yp):
+                    x = _bn_pool_fused(yp, b, bn_mod, self.dtype)
+                    idx += 4  # conv, bn, relu, pool
+                    j += 2
+                    continue
+            x = bn_mod(y, not train, shift=b)
             idx += 3  # conv, bn, relu
+            j += 1
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 

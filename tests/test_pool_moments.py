@@ -1,0 +1,157 @@
+"""pool_moments kernel (interpret mode) vs oracle + fused VGG BN→pool
+path vs the tensor-path fallback."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fpsg_tpu.ops.pool_moments import pool_moments, pool_moments_oracle
+
+
+@pytest.mark.parametrize("b,h,w2,c2,dt", [
+    (2, 16, 8, 256, jnp.float32),
+    (2, 14, 7, 256, jnp.float32),   # odd W/2, odd H/2 (conv5_3 shape)
+    (2, 8, 6, 128, jnp.bfloat16),   # block-1 packed width (c2=128)
+])
+def test_forward_matches_oracle(b, h, w2, c2, dt):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    y = jax.random.normal(k1, (b, h, w2, c2), jnp.float32).astype(dt)
+    s = jax.random.normal(k2, (c2,), jnp.float32)
+    got = pool_moments(y, s)
+    want = pool_moments_oracle(y, s)
+    for g, w, tol in zip(got, want, (1e-4, 1e-4, 0.0, 0.0)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=tol)
+
+
+def test_gradient_matches_oracle_no_ties():
+    # distinct values -> tie semantics can't differ between the
+    # first-index kernel routing and jnp's tie-splitting VJP
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    y = jax.random.normal(k1, (2, 8, 4, 256), jnp.float32)
+    s = jax.random.normal(k2, (256,), jnp.float32)
+
+    def loss(fn):
+        def inner(yy):
+            zs, zq, ymax, ymin = fn(yy, s)
+            return (jnp.sum(zs * 0.3) + jnp.sum(zq * 0.1)
+                    + jnp.sum(ymax * 1.7) - jnp.sum(ymin * 0.9))
+        return inner
+
+    g_k = jax.grad(loss(pool_moments))(y)
+    g_o = jax.grad(loss(pool_moments_oracle))(y)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_tie_routing_is_first_window_index():
+    # all four window elements equal: cotangent goes to the FIRST in
+    # row-major (dh, dw) scan order (torch semantics), not split
+    y = jnp.zeros((1, 4, 2, 256), jnp.float32)
+    s = jnp.zeros((256,), jnp.float32)
+
+    def loss(yy):
+        return jnp.sum(pool_moments(yy, s)[2])
+
+    g = jax.grad(loss)(y)
+    # windows: rows (0,1)x phases; first element = row 0, phase 0
+    # (channels 0:128). Each of the 2x2=4 output positions per 128-ch
+    # block routes 1.0 there.
+    assert float(g[0, 0, :, :128].sum()) == 2 * 128.0
+    assert float(g[0, 0, :, 128:].sum()) == 0.0
+    assert float(g[0, 1].sum()) == 0.0
+
+
+def test_bn_pool_fused_single_site_matches_fallback(monkeypatch):
+    """One conv→BN(+relu)→pool site, fused path (stats-injection +
+    one-read kernel, forced on) vs the tensor path: output, gradient,
+    and the BN running-stat update agree tightly."""
+    import flax.linen as nn
+    import fpsg_tpu.nn.vgg as vgg
+    from fpsg_tpu.nn.normalization import BatchNorm
+
+    class M(nn.Module):
+        fused: bool
+
+        @nn.compact
+        def __call__(self, y, b):
+            # phase_groups=2: params/stats at logical width like the
+            # fused path's param_shape_hint (the block-1 configuration)
+            bn = BatchNorm(two_pass=False, activation="relu",
+                           phase_groups=2, name="bn")
+            if self.fused:
+                return vgg._bn_pool_fused(y, b, bn, None)
+            return vgg._phase_max(bn(y, False, shift=b))
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    yp = jax.random.normal(k1, (2, 8, 6, 256), jnp.float32)
+    b = jax.random.normal(k2, (128,), jnp.float32) * 0.1
+
+    def run(fused):
+        m = M(fused=fused)
+        v = m.init(k3, yp, b)
+
+        def loss(yy):
+            out, mut = m.apply(v, yy, b, mutable=["batch_stats"])
+            return jnp.sum(out ** 2), mut["batch_stats"]
+
+        (l, stats), g = jax.value_and_grad(loss, has_aux=True)(yp)
+        return l, stats, g
+
+    monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
+    l_fb, st_fb, g_fb = run(False)
+    l_k, st_k, g_k = run(True)
+    np.testing.assert_allclose(float(l_k), float(l_fb), rtol=1e-6)
+    for a, bb in zip(jax.tree.leaves(st_k), jax.tree.leaves(st_fb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_fb),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_vgg_fused_pool_path_matches_fallback(monkeypatch):
+    """Full VGG16-bn train step, fused BN→pool sites (forced interpret
+    kernels) vs the tensor path: outputs and every BN running stat
+    agree; gradients agree within the fallback's OWN epsilon-
+    sensitivity. The single-site tests above hold at ~1e-6; at full
+    depth the paths' ~1e-7 statistic reassociation flips maxpool
+    routing at near-tie windows, rerouting O(1) cotangent — measured
+    identical (leaf-for-leaf Frobenius) to perturbing the fallback's
+    input by 1e-6, so the test compares against that self-calibrated
+    noise floor instead of a fixed elementwise tolerance."""
+    import fpsg_tpu.nn.vgg as vgg
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (2, 32, 32, 3), jnp.float32)
+    m = vgg.VGG16BN()
+    v = m.init({"params": k2}, x, True)
+
+    def run(xx):
+        def loss(p):
+            out, mut = m.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, xx, True,
+                mutable=["batch_stats"])
+            return jnp.sum(out ** 2), (out, mut["batch_stats"])
+
+        (l, (out, stats)), g = jax.value_and_grad(
+            loss, has_aux=True)(v["params"])
+        return l, out, stats, g
+
+    l_fb, out_fb, st_fb, g_fb = run(x)
+    _, _, _, g_noise = run(x + 1e-6 * jax.random.normal(k3, x.shape))
+    monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
+    l_k, out_k, st_k, g_k = run(x)
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_fb),
+                               rtol=1e-4, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(st_k), jax.tree.leaves(st_fb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for gk, gfb, gn in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_fb),
+                           jax.tree.leaves(g_noise)):
+        gk, gfb, gn = map(np.asarray, (gk, gfb, gn))
+        ref = np.linalg.norm(gfb) + 1e-12
+        frob = np.linalg.norm(gk - gfb) / ref
+        floor = np.linalg.norm(gn - gfb) / ref
+        assert frob <= max(3.0 * floor, 1e-4), (frob, floor)
