@@ -83,6 +83,33 @@ def test_bn_maxpool_kernel_path_single_module(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_vmap_matches_oracle():
+    """The train step vmaps episodes (even at E=1), so the kernel must
+    be correct under the Pallas batching rule (batch grid dim +
+    per-batch accumulator blocks)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    y = jax.random.normal(k1, (3, 2, 64, 128), jnp.float32)  # (E, B, N, F)
+    s = jax.random.normal(k2, (3, 128), jnp.float32)
+
+    got = jax.vmap(moments_minmax)(y, s)
+    want = jax.vmap(moments_minmax_oracle)(y, s)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def inner(yy):
+            zs, zq, ymax, ymin = jax.vmap(fn)(yy, s)
+            return (jnp.sum(zs * 0.3) + jnp.sum(zq * 0.1)
+                    + jnp.sum(ymax * 1.7) - jnp.sum(ymin * 0.9))
+        return inner
+
+    g_k = jax.grad(loss(moments_minmax))(y)
+    g_o = jax.grad(loss(moments_minmax_oracle))(y)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tie_routing_is_first_index():
     # two equal maxima in a channel: all cotangent goes to the FIRST
     # (torch semantics), not split

@@ -45,6 +45,33 @@ def test_gradient_matches_oracle_no_ties():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_vmap_matches_oracle():
+    """The train step vmaps episodes (even at E=1), so the kernel must
+    be correct under the Pallas batching rule (batch grid dim +
+    per-batch accumulator blocks)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    yp = jax.random.normal(k1, (3, 2, 8, 6, 256), jnp.float32)
+    sp = jax.random.normal(k2, (3, 256), jnp.float32)
+
+    got = jax.vmap(pool_moments)(yp, sp)
+    want = jax.vmap(pool_moments_oracle)(yp, sp)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss(fn):
+        def inner(yy):
+            zs, zq, ymax, ymin = jax.vmap(fn)(yy, sp)
+            return (jnp.sum(zs * 0.3) + jnp.sum(zq * 0.1)
+                    + jnp.sum(ymax * 1.7) - jnp.sum(ymin * 0.9))
+        return inner
+
+    g_k = jax.grad(loss(pool_moments))(yp)
+    g_o = jax.grad(loss(pool_moments_oracle))(yp)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_tie_routing_is_first_window_index():
     # all four window elements equal: cotangent goes to the FIRST in
     # row-major (dh, dw) scan order (torch semantics), not split
