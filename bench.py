@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 # Estimated reference throughput on its intended hardware (see module
@@ -148,6 +149,28 @@ def main():
                     help="mixed-precision compute dtype (params/BN stats/"
                          "losses stay f32 either way)")
     args = ap.parse_args()
+
+    # Fail fast (not hang) when the axon TPU tunnel is unreachable:
+    # backend init blocks inside the plugin instead of raising, so an
+    # unguarded first device touch would stall the driver indefinitely
+    # (same probe as __graft_entry__._count_devices_with_timeout).
+    import threading
+
+    probe_ok = [False]
+
+    def _probe():
+        try:
+            probe_ok[0] = len(jax.devices()) > 0
+        except Exception:
+            probe_ok[0] = False
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(120.0)
+    if not (t.is_alive() is False and probe_ok[0]):
+        print("bench.py: TPU backend unreachable (device probe "
+              "timed out/failed) — aborting", file=sys.stderr)
+        sys.exit(2)
 
     cpu_baseline = TORCH_CPU_BASELINE_EPS
     if args.measure_baseline:
