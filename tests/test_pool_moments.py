@@ -45,6 +45,37 @@ def test_gradient_matches_oracle_no_ties():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_bf16_affine_commutes_through_pool_bitwise():
+    """The fused path's core identity at the production dtype:
+    ``max_w relu(k*y+b) == relu(k*[max_w y | min_w y]+b)`` BITWISE in
+    bf16, because per-channel affines are monotone (antitone for k<0)
+    and fp rounding is monotone. Signs of k mixed; values include exact
+    ties and zeros."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    y = jax.random.normal(k1, (2, 8, 6, 256), jnp.float32)
+    # inject exact ties and zeros
+    y = y.at[0, 0].set(y[0, 1]).at[1, 2:4].set(0.0).astype(jnp.bfloat16)
+    k = (jax.random.normal(k2, (128,), jnp.float32)
+         * jnp.where(jnp.arange(128) % 3 == 0, -1.0, 1.0))
+    b = jax.random.normal(k3, (128,), jnp.float32)
+    kb, bb = k.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+
+    # fallback order: affine+relu per element (bf16), then pool
+    act = jnp.maximum(y * jnp.tile(kb, 2) + jnp.tile(bb, 2), 0)
+    e = [act.reshape(2, 4, 2, 6, 256)[:, :, dh, :, dw * 128:(dw + 1) * 128]
+         for dh in (0, 1) for dw in (0, 1)]
+    want = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
+
+    # fused order: pool raw y (max AND min), then affine+relu
+    _, _, ymax, ymin = pool_moments_oracle(y, jnp.zeros(256))
+    sel = jnp.where(k > 0, ymax, ymin).astype(jnp.bfloat16)
+    got = jnp.maximum(sel * kb + bb, 0)
+
+    assert jnp.array_equal(got, want.astype(jnp.bfloat16)), (
+        np.abs(np.asarray(got, np.float32)
+               - np.asarray(want, np.float32)).max())
+
+
 def test_vmap_matches_oracle():
     """The train step vmaps episodes (even at E=1), so the kernel must
     be correct under the Pallas batching rule (batch grid dim +
