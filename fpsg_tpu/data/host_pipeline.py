@@ -36,8 +36,15 @@ def sample_episode_batch_host(
     n_support: int,
     n_query: int,
     n_episodes: int = 1,
+    normalize: bool = True,
 ) -> dict:
-    """Numpy episode assembly with DeviceCorpus-equivalent semantics."""
+    """Numpy episode assembly with DeviceCorpus-equivalent semantics.
+
+    ``normalize=False`` keeps images uint8 for the prefetch pipeline —
+    the H2D transfer then ships 1 byte/pixel instead of 4 and the
+    jitted step normalizes on device (``make_host_train_step``), which
+    is bitwise-identical math (same ``u8 * 2/255 - 1`` f32 formula).
+    """
     counts = corpus.counts
     eligible = (
         np.ones(corpus.n_classes, bool) if corpus.eligible is None
@@ -60,20 +67,24 @@ def sample_episode_batch_host(
         sup, qry = idx[:n_support], idx[n_support:]
         ad = rng.permutation(flat_sizes)[:n_support]
 
+        norm = _normalize_images_np if normalize else (lambda a: a)
         out["cls"].append(cls)
-        out["xs"].append(_normalize_images_np(corpus.images[cls][sup]))
-        out["xq"].append(_normalize_images_np(corpus.images[cls][qry]))
+        out["xs"].append(norm(corpus.images[cls][sup]))
+        out["xq"].append(norm(corpus.images[cls][qry]))
         out["pcs"].append(corpus.clouds[cls][sup])
         out["pcq"].append(corpus.clouds[cls][qry])
-        out["xad"].append(_normalize_images_np(np.stack(
+        out["xad"].append(norm(np.stack(
             [corpus.images[flat_cls[i]][flat_item[i]] for i in ad])))
         out["pcad"].append(np.stack(
             [corpus.clouds[flat_cls[i]][flat_item[i]] for i in ad]))
 
+    img_dtype = np.float32 if normalize else np.uint8
     return {
         "cls": np.asarray(out["cls"], np.int32),
+        **{k: np.stack(out[k]).astype(img_dtype)
+           for k in ("xs", "xq", "xad")},
         **{k: np.stack(out[k]).astype(np.float32)
-           for k in ("xs", "xq", "xad", "pcs", "pcq", "pcad")},
+           for k in ("pcs", "pcq", "pcad")},
     }
 
 
@@ -87,7 +98,11 @@ def prefetched_episodes(
     device=None,
 ) -> Iterator[dict]:
     """Infinite iterator of device-resident episode batches, assembled on a
-    background thread (double-buffered: H2D overlaps with compute)."""
+    background thread (double-buffered: H2D overlaps with compute).
+
+    Images travel uint8 (4x fewer bytes over the link than normalized
+    f32); ``make_host_train_step`` normalizes on device inside the jit.
+    """
     rng = np.random.default_rng(seed)
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
@@ -95,7 +110,8 @@ def prefetched_episodes(
     def worker():
         while not stop.is_set():
             batch = sample_episode_batch_host(
-                rng, corpus, n_support, n_query, n_episodes
+                rng, corpus, n_support, n_query, n_episodes,
+                normalize=False,
             )
             batch = {
                 k: jax.device_put(v, device) for k, v in batch.items()
@@ -144,7 +160,13 @@ def make_host_train_step(model, tx, donate: bool = True):
     def train_step(state: TrainState, batch, key):
         e = batch["cls"].shape[0]
         keys = jax.random.split(key, e)
-        sample = {k: v for k, v in batch.items() if k != "cls"}
+        sample = {
+            # device-side normalize of uint8 images (same u8*2/255-1
+            # formula as the host path — bitwise-identical f32)
+            k: (v.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                if jnp.issubdtype(v.dtype, jnp.integer) else v)
+            for k, v in batch.items() if k != "cls"
+        }
         outs, new_stats, grads = jax.vmap(
             episode_loss, in_axes=(None, None, 0, 0)
         )(state.params, state.batch_stats, sample, keys)

@@ -37,6 +37,26 @@ def test_host_sampling_semantics(rng):
         assert (d + np.eye(len(d)) * 1e9).min() > 1e-8
 
 
+def test_uint8_transfer_path_is_bitwise_equal(rng):
+    """The prefetch pipeline ships uint8 (4x fewer H2D bytes) and the
+    step normalizes on device — bitwise-identical f32 to host-side
+    normalization (same u8 * 2/255 - 1 formula)."""
+    corpus = synthetic_corpus(n_classes=2, items_per_class=8, n_pts=64,
+                              img_size=16, jitter=0.0)
+    f32 = sample_episode_batch_host(
+        np.random.default_rng(7), corpus, 3, 2, n_episodes=4)
+    u8 = sample_episode_batch_host(
+        np.random.default_rng(7), corpus, 3, 2, n_episodes=4,
+        normalize=False)
+    for k in ("xs", "xq", "xad"):
+        assert u8[k].dtype == np.uint8
+        dev = np.asarray(
+            jnp.asarray(u8[k]).astype(jnp.float32) * (2.0 / 255.0) - 1.0)
+        np.testing.assert_array_equal(dev, f32[k])
+    for k in ("pcs", "pcq", "pcad", "cls"):
+        np.testing.assert_array_equal(u8[k], f32[k])
+
+
 def test_eligibility_respected(rng):
     corpus = synthetic_corpus(n_classes=3, items_per_class=6, n_pts=32,
                               img_size=8)
