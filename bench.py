@@ -152,22 +152,10 @@ def main():
 
     # Fail fast (not hang) when the axon TPU tunnel is unreachable:
     # backend init blocks inside the plugin instead of raising, so an
-    # unguarded first device touch would stall the driver indefinitely
-    # (same probe as __graft_entry__._count_devices_with_timeout).
-    import threading
+    # unguarded first device touch would stall the driver indefinitely.
+    from __graft_entry__ import _count_devices_with_timeout
 
-    probe_ok = [False]
-
-    def _probe():
-        try:
-            probe_ok[0] = len(jax.devices()) > 0
-        except Exception:
-            probe_ok[0] = False
-
-    t = threading.Thread(target=_probe, daemon=True)
-    t.start()
-    t.join(120.0)
-    if not (t.is_alive() is False and probe_ok[0]):
+    if _count_devices_with_timeout(120.0) < 1:
         print("bench.py: TPU backend unreachable (device probe "
               "timed out/failed) — aborting", file=sys.stderr)
         sys.exit(2)

@@ -59,19 +59,22 @@ def main():
         tf = 2 * 33 * 4 * 4 * 128 * k * n / t / 1e12
         cases.append((f"grouped einsum K={k} N={n}", t * 1e3, tf))
 
-    # split formulation: clean 1536-col main + rank-3 correction
-    ka, kb, kc = jax.random.split(key, 3)
+    # split formulation equivalent to the full 1539x769 product: clean
+    # 1536x768 main + rank-3 K-tail + the 769th output column
+    ka, kb, kc, kd = jax.random.split(key, 4)
     a = jax.random.normal(ka, (67584, 1539), jnp.float32).astype(dt)
     w_main = jax.random.normal(kb, (1536, 768), jnp.float32).astype(dt)
     w_tail = jax.random.normal(kc, (3, 768), jnp.float32).astype(dt)
+    w_last = jax.random.normal(kd, (1539, 1), jnp.float32).astype(dt)
 
     @jax.jit
-    def split(a, w_main, w_tail):
-        return a[:, :1536] @ w_main + a[:, 1536:] @ w_tail
+    def split(a, w_main, w_tail, w_last):
+        main = a[:, :1536] @ w_main + a[:, 1536:] @ w_tail
+        return jnp.concatenate([main, a @ w_last], axis=1)
 
-    t = timeit(split, a, w_main, w_tail)
+    t = timeit(split, a, w_main, w_tail, w_last)
     tf = 2 * 67584 * 1539 * 769 / t / 1e12  # same logical work as the odd case
-    cases.append(("split 1536+3 -> 768 (logical 1539x769)", t * 1e3, tf))
+    cases.append(("split 1536+3/768+1 (logical 1539x769)", t * 1e3, tf))
 
     for name, ms, tf in cases:
         print(f"{name:45s} {ms:8.3f} ms  {tf:7.1f} TF/s")

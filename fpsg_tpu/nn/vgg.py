@@ -94,11 +94,10 @@ def _packed_pool_slices(x):
     pair, dw = the channel phase. (A two-stage phase-then-row pool was
     measured slower: its full-row-resolution intermediate costs ~4 ms of
     extra HBM traffic vs ~2.7 ms of layout passes here.)"""
+    from fpsg_tpu.ops._pallas_utils import packed_window_elems
+
     b, h, w2, c2 = x.shape
-    c = c2 // 2
-    x5 = x.reshape(b, h // 2, 2, w2, c2)
-    return [x5[:, :, dh, :, dw * c:(dw + 1) * c]
-            for dh in (0, 1) for dw in (0, 1)]
+    return packed_window_elems(x.reshape(b, h // 2, 2, w2, c2), c2 // 2)
 
 
 # --- Pallas packed-pool kernels (TPU): the XLA lowering of the 5-D view
@@ -106,23 +105,15 @@ def _packed_pool_slices(x):
 # trace, vgg.py pool rows); in-kernel the row split/merge is free.
 
 def _pool_fwd_kernel(x_ref, y_ref, idx_ref):
+    from fpsg_tpu.ops._pallas_utils import (
+        first_match_code, packed_window_elems,
+    )
+
     h, w2, c2 = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
-    c = c2 // 2
-    x5 = x_ref[0].reshape(h // 2, 2, w2, c2)
-    e = [x5[:, dh, :, dw * c:(dw + 1) * c]
-         for dh in (0, 1) for dw in (0, 1)]
+    e = packed_window_elems(x_ref[0].reshape(h // 2, 2, w2, c2), c2 // 2)
     y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
     y_ref[0] = y
-    # compares in f32 (no native bf16 compare on v5e) and the index built
-    # at i32 tiling, converted once (i1->i8 select needs a relayout
-    # Mosaic rejects)
-    ef = [t.astype(jnp.float32) for t in e]
-    yf = y.astype(jnp.float32)
-    idx32 = jnp.where(
-        ef[0] == yf, 0,
-        jnp.where(ef[1] == yf, 1, jnp.where(ef[2] == yf, 2, 3)),
-    )
-    idx_ref[0] = idx32.astype(jnp.int8)
+    idx_ref[0] = first_match_code(e, y)
 
 
 def _pool_bwd_kernel(idx_ref, g_ref, gx_ref):
@@ -139,12 +130,9 @@ def _pool_bwd_kernel(idx_ref, g_ref, gx_ref):
 
 
 def _pool_row_tile(h2: int) -> int:
-    th = 1
-    for cand in (32, 28, 16, 14, 8, 7, 4, 2):
-        if h2 % cand == 0:
-            th = cand
-            break
-    return th
+    from fpsg_tpu.ops._pallas_utils import pool_row_tile
+
+    return pool_row_tile(h2)
 
 
 def _pool_pallas_fwd(x):
@@ -217,14 +205,11 @@ def _phase_max_fwd(x):
     if jax.default_backend() == "tpu":
         y, idx = _pool_pallas_fwd(x)
         return y, idx
+    from fpsg_tpu.ops._pallas_utils import first_match_code
+
     e = _packed_pool_slices(x)
     y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
-    idx = jnp.where(
-        e[0] == y, jnp.int8(0),
-        jnp.where(e[1] == y, jnp.int8(1),
-                  jnp.where(e[2] == y, jnp.int8(2), jnp.int8(3))),
-    )
-    return y, idx
+    return y, first_match_code(e, y)
 
 
 def _phase_max_bwd(idx, g):
@@ -395,14 +380,11 @@ def _maxpool_2x2(x: jax.Array) -> jax.Array:
 
 
 def _maxpool_2x2_fwd(x):
+    from fpsg_tpu.ops._pallas_utils import first_match_code
+
     e = _window_slices(x)
     y = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
-    idx = jnp.where(
-        e[0] == y, jnp.int8(0),
-        jnp.where(e[1] == y, jnp.int8(1),
-                  jnp.where(e[2] == y, jnp.int8(2), jnp.int8(3))),
-    )
-    return y, idx
+    return y, first_match_code(e, y)
 
 
 def _maxpool_2x2_bwd(idx, g):

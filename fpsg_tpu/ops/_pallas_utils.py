@@ -29,3 +29,33 @@ def pad_points(p: jax.Array, d_pad: int = 8) -> jax.Array:
 
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def pool_row_tile(h2: int) -> int:
+    """Row-tile size for the 2x2 pool kernels: largest candidate dividing
+    the pooled row count (VGG sizes are 2^a*7^b, hence the 28/14/7s)."""
+    for cand in (32, 28, 16, 14, 8, 7, 4, 2):
+        if h2 % cand == 0:
+            return cand
+    return 1
+
+
+def packed_window_elems(x5, c: int):
+    """The four 2x2-window elements of a row-split width-packed value
+    ``(..., 2, W2, 2C)`` in torch's row-major (dh, dw) window scan order:
+    dh = the row pair, dw = the channel phase (column parity)."""
+    return [x5[..., dh, :, dw * c:(dw + 1) * c]
+            for dh in (0, 1) for dw in (0, 1)]
+
+
+def first_match_code(elems, target):
+    """First window index (0..3) whose element equals ``target`` — the
+    torch tie rule. Compare in f32 (no native bf16 vector compare on
+    v5e); build at i32 tiling, convert once (i1->i8 select needs a
+    relayout Mosaic rejects)."""
+    ef = [e.astype(jnp.float32) for e in elems]
+    tf = target.astype(jnp.float32)
+    return jnp.where(
+        ef[0] == tf, 0,
+        jnp.where(ef[1] == tf, 1, jnp.where(ef[2] == tf, 2, 3)),
+    ).astype(jnp.int8)

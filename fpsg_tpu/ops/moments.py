@@ -27,7 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fpsg_tpu.ops._pallas_utils import interpret_default
 
-_BIG = 1e30  # python float: jnp module constants become captured tracers
+_INF = float("inf")  # python float: jnp module constants become captured
+                     # tracers. ±inf (not a big-finite sentinel) so values
+                     # beyond any threshold still compare correctly and the
+                     # all-(-inf) channel matches jnp.max's -inf/argmax-0.
 
 
 def _fwd_kernel_factory(tile_n: int, f: int):
@@ -44,9 +47,9 @@ def _fwd_kernel_factory(tile_n: int, f: int):
 
         @pl.when(t == 0)
         def _():
-            ymax_ref[0] = jnp.full((f,), -_BIG, jnp.float32)
+            ymax_ref[0] = jnp.full((f,), -_INF, jnp.float32)
             imax_ref[0] = jnp.zeros((f,), jnp.int32)
-            ymin_ref[0] = jnp.full((f,), _BIG, jnp.float32)
+            ymin_ref[0] = jnp.full((f,), _INF, jnp.float32)
             imin_ref[0] = jnp.zeros((f,), jnp.int32)
 
         z = y - s_ref[0][None, :]
@@ -213,7 +216,8 @@ def moments_minmax_oracle(y: jax.Array, s: jax.Array):
 
 
 def supports_kernel(y: jax.Array) -> bool:
-    """Shape gate for the Pallas path (lane-sized F, tileable N)."""
-    b, n, f = y.shape
+    """Shape gate for the Pallas path (lane-sized F, tileable N —
+    ``_pick_tile`` always returns a divisor, so only its size gates)."""
+    n, f = y.shape[1], y.shape[2]
     return (not interpret_default()) and f % 128 == 0 \
-        and n % _pick_tile(n) == 0 and _pick_tile(n) >= 8
+        and _pick_tile(n) >= 8

@@ -37,21 +37,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fpsg_tpu.ops._pallas_utils import interpret_default
-
-_BIG = 1e30  # python float: jnp module constants become captured tracers
-
-
-def _row_tile(h2: int) -> int:
-    for cand in (32, 28, 16, 14, 8, 7, 4, 2, 1):
-        if h2 % cand == 0:
-            return cand
-    return 1
+from fpsg_tpu.ops._pallas_utils import (
+    first_match_code, interpret_default, packed_window_elems, pool_row_tile,
+)
 
 
 def _fwd_kernel_factory(th: int, w2: int, c2: int):
-    c = c2 // 2
-
     def kernel(y_ref, s_ref, zs_ref, zq_ref,
                ymax_ref, imax_ref, ymin_ref, imin_ref):
         bi = pl.program_id(0)
@@ -67,29 +58,16 @@ def _fwd_kernel_factory(th: int, w2: int, c2: int):
         zs_ref[0] += jnp.sum(z, axis=0)
         zq_ref[0] += jnp.sum(z * z, axis=0)
 
-        # 2x2 window = (row pair) x (channel phase); compares in f32 (no
-        # native bf16 vector compare on v5e), idx built at i32 tiling and
-        # converted once (i1->i8 select needs a relayout Mosaic rejects).
-        x5 = y.reshape(th, 2, w2, c2)
-        e = [x5[:, dh, :, dw * c:(dw + 1) * c]
-             for dh in (0, 1) for dw in (0, 1)]
+        # 2x2 window = (row pair) x (channel phase)
+        e = packed_window_elems(y.reshape(th, 2, w2, c2), c2 // 2)
         ymax = jnp.maximum(jnp.maximum(e[0], e[1]),
                            jnp.maximum(e[2], e[3]))
         ymin = jnp.minimum(jnp.minimum(e[0], e[1]),
                            jnp.minimum(e[2], e[3]))
         ymax_ref[0] = ymax
         ymin_ref[0] = ymin
-        ef = [t_.astype(jnp.float32) for t_ in e]
-        yfx = ymax.astype(jnp.float32)
-        imax_ref[0] = jnp.where(
-            ef[0] == yfx, 0,
-            jnp.where(ef[1] == yfx, 1, jnp.where(ef[2] == yfx, 2, 3)),
-        ).astype(jnp.int8)
-        yfn = ymin.astype(jnp.float32)
-        imin_ref[0] = jnp.where(
-            ef[0] == yfn, 0,
-            jnp.where(ef[1] == yfn, 1, jnp.where(ef[2] == yfn, 2, 3)),
-        ).astype(jnp.int8)
+        imax_ref[0] = first_match_code(e, ymax)
+        imin_ref[0] = first_match_code(e, ymin)
 
     return kernel
 
@@ -125,7 +103,7 @@ def _bwd_kernel_factory(th: int, w2: int, c2: int, out_dtype):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_pallas(y, s, interpret):
     b, h, w2, c2 = y.shape
-    th = _row_tile(h // 2)
+    th = pool_row_tile(h // 2)
     stat = pl.BlockSpec((1, w2, c2), lambda bi, t: (0, 0, 0),
                         memory_space=pltpu.VMEM)
     quarter = lambda dt: jax.ShapeDtypeStruct((b, h // 2, w2, c2 // 2), dt)
@@ -157,7 +135,7 @@ def _fwd_pallas(y, s, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
     b, h, w2, c2 = y.shape
-    th = _row_tile(h // 2)
+    th = pool_row_tile(h // 2)
     stat = pl.BlockSpec((1, c2), lambda bi, t: (0, 0),
                         memory_space=pltpu.VMEM)
     qspec = pl.BlockSpec((1, th, w2, c2 // 2), lambda bi, t: (bi, t, 0, 0),
@@ -217,13 +195,10 @@ pool_moments.defvjp(_pm_fwd, _pm_bwd)
 def pool_moments_oracle(y: jax.Array, s: jax.Array):
     """jnp reference (same values; jnp tie semantics in the gradients)."""
     b, h, w2, c2 = y.shape
-    c = c2 // 2
     z = y.astype(jnp.float32) - s[None, None, None, :]
     zs = jnp.sum(z, axis=(0, 1, 2))
     zq = jnp.sum(z * z, axis=(0, 1, 2))
-    x5 = y.reshape(b, h // 2, 2, w2, c2)
-    e = [x5[:, :, dh, :, dw * c:(dw + 1) * c]
-         for dh in (0, 1) for dw in (0, 1)]
+    e = packed_window_elems(y.reshape(b, h // 2, 2, w2, c2), c2 // 2)
     ymax = jnp.maximum(jnp.maximum(e[0], e[1]), jnp.maximum(e[2], e[3]))
     ymin = jnp.minimum(jnp.minimum(e[0], e[1]), jnp.minimum(e[2], e[3]))
     return zs, zq, ymax, ymin
