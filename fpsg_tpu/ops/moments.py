@@ -36,6 +36,10 @@ _INF = float("inf")  # python float: jnp module constants become captured
 def _fwd_kernel_factory(tile_n: int, f: int):
     def kernel(y_ref, s_ref, zs_ref, zq_ref,
                ymax_ref, imax_ref, ymin_ref, imin_ref):
+        # per-batch outputs are (B, 1, F) with (1, 1, F) blocks — the
+        # singleton middle axis satisfies Mosaic's block constraint
+        # (last two block dims divisible by (8, 128) OR equal to the
+        # array dims; a bare (1, F) block over (B, F) is rejected)
         bi = pl.program_id(0)
         t = pl.program_id(1)
         y = y_ref[0].astype(jnp.float32)               # (TN, F)
@@ -47,10 +51,10 @@ def _fwd_kernel_factory(tile_n: int, f: int):
 
         @pl.when(t == 0)
         def _():
-            ymax_ref[0] = jnp.full((f,), -_INF, jnp.float32)
-            imax_ref[0] = jnp.zeros((f,), jnp.int32)
-            ymin_ref[0] = jnp.full((f,), _INF, jnp.float32)
-            imin_ref[0] = jnp.zeros((f,), jnp.int32)
+            ymax_ref[0, 0] = jnp.full((f,), -_INF, jnp.float32)
+            imax_ref[0, 0] = jnp.zeros((f,), jnp.int32)
+            ymin_ref[0, 0] = jnp.full((f,), _INF, jnp.float32)
+            imin_ref[0, 0] = jnp.zeros((f,), jnp.int32)
 
         z = y - s_ref[0][None, :]
         zs_ref[0] += jnp.sum(z, axis=0)
@@ -63,17 +67,17 @@ def _fwd_kernel_factory(tile_n: int, f: int):
         ) + t * tile_n                                 # first index in tile
         # strict > keeps the EARLIER tile's value on cross-tile ties
         # (first-index, torch semantics)
-        better = tmax > ymax_ref[0]
-        imax_ref[0] = jnp.where(better, targ, imax_ref[0])
-        ymax_ref[0] = jnp.where(better, tmax, ymax_ref[0])
+        better = tmax > ymax_ref[0, 0]
+        imax_ref[0, 0] = jnp.where(better, targ, imax_ref[0, 0])
+        ymax_ref[0, 0] = jnp.where(better, tmax, ymax_ref[0, 0])
 
         tmin = jnp.min(y, axis=0)
         targ_n = jnp.min(
             jnp.where(y == tmin[None, :], rows, tile_n), axis=0
         ) + t * tile_n
-        better_n = tmin < ymin_ref[0]
-        imin_ref[0] = jnp.where(better_n, targ_n, imin_ref[0])
-        ymin_ref[0] = jnp.where(better_n, tmin, ymin_ref[0])
+        better_n = tmin < ymin_ref[0, 0]
+        imin_ref[0, 0] = jnp.where(better_n, targ_n, imin_ref[0, 0])
+        ymin_ref[0, 0] = jnp.where(better_n, tmin, ymin_ref[0, 0])
 
     return kernel
 
@@ -87,10 +91,10 @@ def _bwd_kernel_factory(tile_n: int, f: int, out_dtype):
         gy = gzs_ref[0][None, :] + 2.0 * z * gzq_ref[0][None, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, f), 0) \
             + t * tile_n
-        gy += jnp.where(rows == imax_ref[0][None, :],
-                        gmax_ref[0][None, :], 0.0)
-        gy += jnp.where(rows == imin_ref[0][None, :],
-                        gmin_ref[0][None, :], 0.0)
+        gy += jnp.where(rows == imax_ref[0, 0][None, :],
+                        gmax_ref[0, 0][None, :], 0.0)
+        gy += jnp.where(rows == imin_ref[0, 0][None, :],
+                        gmin_ref[0, 0][None, :], 0.0)
         gy_ref[0] = gy.astype(out_dtype)
 
     return kernel
@@ -107,40 +111,30 @@ def _pick_tile(n: int, cap: int = 512) -> int:
 def _moments_fwd_pallas(y, s, interpret):
     b, n, f = y.shape
     tn = _pick_tile(n)
+    chan = pl.BlockSpec((1, f), lambda bi, t: (0, 0),
+                        memory_space=pltpu.VMEM)
+    per_b = pl.BlockSpec((1, 1, f), lambda bi, t: (bi, 0, 0),
+                         memory_space=pltpu.VMEM)
     zs, zq, ymax, imax, ymin, imin = pl.pallas_call(
         _fwd_kernel_factory(tn, f),
         grid=(b, n // tn),
         in_specs=[
             pl.BlockSpec((1, tn, f), lambda bi, t: (bi, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            chan,
         ],
-        out_specs=[
-            pl.BlockSpec((1, f), lambda bi, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (bi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda bi, t: (bi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[chan, chan, per_b, per_b, per_b, per_b],
         out_shape=[
             jax.ShapeDtypeStruct((1, f), jnp.float32),
             jax.ShapeDtypeStruct((1, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.int32),
-            jax.ShapeDtypeStruct((b, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, f), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, f), jnp.int32),
         ],
         interpret=interpret,
     )(y, s.reshape(1, f).astype(jnp.float32))
-    return zs[0], zq[0], ymax, imax, ymin, imin
+    return zs[0], zq[0], ymax[:, 0], imax[:, 0], ymin[:, 0], imin[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -149,7 +143,7 @@ def _moments_bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
     tn = _pick_tile(n)
     chan = pl.BlockSpec((1, f), lambda bi, t: (0, 0),
                         memory_space=pltpu.VMEM)
-    per_b = pl.BlockSpec((1, f), lambda bi, t: (bi, 0),
+    per_b = pl.BlockSpec((1, 1, f), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
     gy = pl.pallas_call(
         _bwd_kernel_factory(tn, f, y.dtype),
@@ -166,8 +160,8 @@ def _moments_bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
     )(y, s.reshape(1, f).astype(jnp.float32),
       gzs.reshape(1, f).astype(jnp.float32),
       gzq.reshape(1, f).astype(jnp.float32),
-      gmax.astype(jnp.float32), imax,
-      gmin.astype(jnp.float32), imin)
+      gmax[:, None].astype(jnp.float32), imax[:, None],
+      gmin[:, None].astype(jnp.float32), imin[:, None])
     return gy
 
 

@@ -1,0 +1,100 @@
+"""AOT Mosaic lowering checks — TPU kernel validity without a TPU.
+
+Pallas→Mosaic lowering (block-shape legality, layout rules, op support)
+happens CLIENT-side in ``jax.jit(...).trace(...).lower(
+lowering_platforms=("tpu",))``; only the final XLA compile needs the
+backend. Interpret-mode tests cannot catch Mosaic constraint violations
+(e.g. the (1, F)-block-over-(B, F)-array rejection this file was born
+from), so every new kernel's production shapes are lowered here on CPU.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _lowers(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+@pytest.mark.parametrize("b,n,f", [(65, 2048, 1024), (33, 2048, 1024)])
+def test_moments_kernels_lower(b, n, f):
+    import fpsg_tpu.ops.moments as mm
+
+    y = jnp.zeros((b, n, f), jnp.bfloat16)
+    s = jnp.zeros((f,), jnp.float32)
+    _lowers(functools.partial(mm._moments_fwd_pallas, interpret=False), y, s)
+    gz = jnp.zeros((f,), jnp.float32)
+    gm = jnp.zeros((b, f), jnp.float32)
+    im = jnp.zeros((b, f), jnp.int32)
+    _lowers(functools.partial(mm._moments_bwd_pallas, interpret=False),
+            y, s, gz, gz, gm, im, gm, im)
+
+
+@pytest.mark.parametrize("b,h,w2,c2", [
+    (33, 224, 112, 128),   # block 1 (space-to-depth packed)
+    (33, 112, 56, 256),    # conv2_2
+    (33, 56, 28, 512),     # conv3_3
+    (33, 28, 14, 1024),    # conv4_3
+    (33, 14, 7, 1024),     # conv5_3 (odd W/2, odd H/2)
+])
+def test_pool_moments_kernels_lower(b, h, w2, c2):
+    import fpsg_tpu.ops.pool_moments as pm
+
+    y = jnp.zeros((b, h, w2, c2), jnp.bfloat16)
+    s = jnp.zeros((c2,), jnp.float32)
+    _lowers(functools.partial(pm._fwd_pallas, interpret=False), y, s)
+    gz = jnp.zeros((c2,), jnp.float32)
+    gq = jnp.zeros((b, h // 2, w2, c2 // 2), jnp.float32)
+    iq = jnp.zeros((b, h // 2, w2, c2 // 2), jnp.int8)
+    _lowers(functools.partial(pm._bwd_pallas, interpret=False),
+            y, s, gz, gz, gq, iq, gq, iq)
+
+
+@pytest.mark.slow
+def test_full_production_train_step_lowers(monkeypatch):
+    """The bench.py configuration (bf16 flagship, 32-shot, 224², 2048
+    pts) with every Pallas kernel forced onto its TPU path, vmapped and
+    differentiated, lowers to Mosaic end-to-end."""
+    import unittest.mock as mock
+
+    import __graft_entry__ as g
+    import fpsg_tpu.nn.pointnet as pn
+    import fpsg_tpu.nn.vgg as vgg
+    import fpsg_tpu.ops.moments as mm
+    import fpsg_tpu.ops.pool_moments as pm
+    from fpsg_tpu.data import DeviceCorpus, synthetic_corpus
+    from fpsg_tpu.models import ImgPCProtoNet
+    from fpsg_tpu.train import TrainState, init_model, make_optimizer
+    from fpsg_tpu.train.step import make_train_step
+
+    model = ImgPCProtoNet(
+        img_backbone="vgg_16", pc_backbone="pointnet", intra_support=True,
+        dtype=jnp.bfloat16,
+    )
+    sample = g._example_sample(32, 1, 224, 2048, jax.random.PRNGKey(0))
+    # init EXECUTES on CPU — keep kernels in interpret mode for it; only
+    # the (pure) trace/lower below runs with the TPU kernel paths forced
+    variables = init_model(model, sample)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=100)
+    state = TrainState(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    corpus = DeviceCorpus.build(
+        synthetic_corpus(n_classes=3, items_per_class=40, n_pts=2048,
+                         img_size=224))
+
+    monkeypatch.setattr(mm, "interpret_default", lambda: False)
+    monkeypatch.setattr(pm, "interpret_default", lambda: False)
+    monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
+    monkeypatch.setattr(pn, "_FORCE_MOMENTS_KERNEL", True)
+
+    step = make_train_step(model, tx, n_support=32, n_query=1,
+                           n_episodes=1, donate=False, steps_per_call=1)
+    jax.jit(step).trace(
+        state, corpus, jax.random.PRNGKey(1)
+    ).lower(lowering_platforms=("tpu",))
