@@ -93,8 +93,10 @@ def test_full_production_train_step_lowers(monkeypatch):
     monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
     monkeypatch.setattr(pn, "_FORCE_MOMENTS_KERNEL", True)
 
+    # n_episodes=2: the kernels also lower under the vmap batching rule
+    # (batch grid dim + per-episode accumulator blocks)
     step = make_train_step(model, tx, n_support=32, n_query=1,
-                           n_episodes=1, donate=False, steps_per_call=1)
+                           n_episodes=2, donate=False, steps_per_call=1)
     jax.jit(step).trace(
         state, corpus, jax.random.PRNGKey(1)
     ).lower(lowering_platforms=("tpu",))
