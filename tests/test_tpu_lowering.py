@@ -53,6 +53,23 @@ def test_pool_moments_kernels_lower(b, h, w2, c2):
             y, s, gz, gz, gq, iq, gq, iq)
 
 
+@pytest.mark.parametrize("b,h,w,cin,cout", [
+    (65, 224, 112, 128, 128),   # block-1 packed conv1_2 equivalent
+    (65, 112, 112, 128, 128),   # conv2_x
+    (65, 56, 56, 256, 256),     # conv3_x
+    (65, 28, 28, 512, 512),     # conv4_x
+    (65, 14, 14, 512, 512),     # conv5_x
+])
+def test_conv3x3_kernels_lower(b, h, w, cin, cout):
+    import fpsg_tpu.ops.conv3x3 as cv
+
+    x = jnp.zeros((b, h, w, cin), jnp.bfloat16)
+    wk = jnp.zeros((9 * cin, cout), jnp.bfloat16)
+    _lowers(functools.partial(cv._conv_fwd_pallas, interpret=False), x, wk)
+    gy = jnp.zeros((b, h, w, cout), jnp.bfloat16)
+    _lowers(functools.partial(cv._conv_wgrad_pallas, interpret=False), x, gy)
+
+
 @pytest.mark.slow
 def test_full_production_train_step_lowers(monkeypatch):
     """The bench.py configuration (bf16 flagship, 32-shot, 224², 2048
