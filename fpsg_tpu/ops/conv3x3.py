@@ -1,11 +1,19 @@
-"""Pallas 3x3 SAME conv (NHWC, stride 1) — the VGG conv primitive.
+"""Pallas 3x3 SAME conv family (NHWC, stride 1) — the VGG conv primitive.
 
-Probe/replacement for the XLA conv on the VGG16-bn feature stack
-(reference ``src/models/image_net.py:13-24``): the r3 step trace puts
-the unpacked VGG convs at 19.0 ms @135 TF/s with ~4 ms more of
-mid-block BatchNorm statistics/affine passes around them. A first-party
-conv kernel is the prerequisite for folding those BN passes into the
-conv prologue/epilogue (the fused_stack.py treatment, but for convs).
+Replacement for the XLA conv on the VGG16-bn feature stack (reference
+``src/models/image_net.py:13-24``): the r3 step trace puts the unpacked
+VGG convs at 19.0 ms @135 TF/s with ~4 ms more of mid-block BatchNorm
+statistics/affine passes around them. Owning the conv lets those BN
+passes fold into the conv itself (the fused_stack.py treatment, for
+convs):
+
+  - PROLOGUE: the previous BN's affine(+relu) is applied in-register on
+    the input block as it is loaded (``a = relu(k*x + b)`` at the same
+    cast points as the unfused ``normalization._affine_relu`` →
+    conv-input chain), so the normalized tensor is never materialized;
+  - EPILOGUE: the single-read shifted BN statistics of the raw output
+    (``zsum/zsq of z = y - s``) accumulate before writeback, so the BN
+    statistics pass never re-reads the conv output.
 
 Formulation — flat-shifted taps, no im2col materialization:
 
@@ -27,7 +35,9 @@ SAME-padding semantics:
   (iota masks built once, shared by the three taps of each dx).
 - the halo rows beyond the image (block row 0/1 at the top tile, the
   last two at the bottom tile) are zero-masked whole; their BlockSpec
-  indices are clamped to stay in range.
+  indices are clamped to stay in range. With a prologue the mask runs
+  AFTER the affine+relu (padding zeros are conv-input zeros, not
+  affine inputs).
 
 Row halos use separate 2-row refs with clamped index maps (Mosaic
 forbids mixing Element/Blocked dims and requires lane/sublane-aligned
@@ -36,6 +46,16 @@ expressible); the kernel concatenates [up2, mid, dn2] along the
 outer row dim — vreg stacking, not a relayout. Lanes = channels
 throughout; weights are passed as ``(9*Cin, Cout)`` so tap k's slice
 starts at ``k*Cin``, a lane-tile-aligned sublane offset.
+
+Backward: dgrad is the same conv kernel run on the adjusted cotangent
+``gy_tot = gy + gzs + 2*(y-s)*gzq`` (the statistics cotangent fuses
+into its prologue) with the rotated-transposed weights, and the
+prologue's backward fuses into its epilogue (``gx = k * [a>0] * da``
+plus the per-channel ``gk/gb`` reduces, grid-accumulated). wgrad is a
+per-tap cross-correlation ``a_tap^T @ gy_tot`` with f32
+grid-accumulation, recomputing ``a`` and ``gy_tot`` in its prologue.
+So each big tensor is read exactly once per kernel that needs it and
+the separate BN statistics/affine backward passes disappear.
 """
 
 from __future__ import annotations
@@ -50,13 +70,13 @@ from jax.experimental.pallas import tpu as pltpu
 from fpsg_tpu.ops._pallas_utils import interpret_default
 
 
-def _row_tile(h: int, w: int, cin: int, cout: int) -> int:
+def _row_tile(h: int, w: int, cin: int, cout: int,
+              budget: int = 12 * 1024 * 1024) -> int:
     """Largest row tile dividing ``h`` (even, for the 2-row halo refs)
     that keeps the kernel's VMEM working set inside the ~16 MB
     per-kernel scope (DESIGN.md §11.4): double-buffered x/out blocks,
     the static-unroll liveness of the 9 tap operands, the f32
     accumulator, and the weights."""
-    budget = 12 * 1024 * 1024
     wk = 9 * cin * cout * 2
     for cand in (32, 28, 16, 14, 8, 4, 2):
         if h % cand:
@@ -70,57 +90,7 @@ def _row_tile(h: int, w: int, cin: int, cout: int) -> int:
     return 2
 
 
-def _fwd_kernel_factory(th: int, w: int, cin: int, cout: int):
-    l = th * w
-
-    def kernel(up_ref, mid_ref, dn_ref, w_ref, o_ref):
-        t = pl.program_id(1)
-        nt = pl.num_programs(1)
-        zero = jnp.zeros((), mid_ref.dtype)
-        up = jnp.where(t == 0, zero, up_ref[0, 0])       # (2, w, cin)
-        dn = jnp.where(t == nt - 1, zero, dn_ref[0, 0])  # (2, w, cin)
-        xb = jnp.concatenate([up, mid_ref[0], dn], axis=0)
-        xf = xb.reshape((th + 4) * w, cin)
-
-        # width-pad masks on the flat axis: o % W == 0 is a row's first
-        # column (garbage for the dx=0 taps), o % W == W-1 its last
-        # (garbage for dx=2).
-        o_mod = jax.lax.rem(
-            jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0), w)
-        not_first = o_mod != 0
-        not_last = o_mod != (w - 1)
-
-        acc = jnp.zeros((l, cout), jnp.float32)
-        for k in range(9):
-            dy, dx = k // 3, k % 3
-            s = (dy + 1) * w + dx - 1
-            a = xf[s:s + l]
-            if dx == 0:
-                a = jnp.where(not_first, a, zero)
-            elif dx == 2:
-                a = jnp.where(not_last, a, zero)
-            acc = acc + jnp.dot(
-                a, w_ref[k * cin:(k + 1) * cin],
-                preferred_element_type=jnp.float32,
-            )
-        o_ref[0, 0] = acc.astype(o_ref.dtype)
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "row_tile"))
-def _conv_fwd_pallas(x, wk, interpret, row_tile=None):
-    """x (B, H, W, Cin), wk (9*Cin, Cout) -> (B, H*W flat per row-tile,
-    Cout), reshaped by the caller to (B, H, W, Cout)."""
-    b, h, w, cin = x.shape
-    cout = wk.shape[1]
-    th = row_tile or _row_tile(h, w, cin, cout)
-    nt = h // th
-    h2 = h // 2
-
-    def mid_map(bi, t):
-        return (bi, t, 0, 0)
-
+def _halo_maps(th: int, h2: int):
     def up_map(bi, t):
         # rows [t*th-2, t*th) in 2-row units, clamped; masked at t==0.
         return (bi, jnp.maximum(t * (th // 2) - 1, 0), 0, 0, 0)
@@ -129,44 +99,306 @@ def _conv_fwd_pallas(x, wk, interpret, row_tile=None):
         # rows [t*th+th, t*th+th+2), clamped; masked at t==nt-1.
         return (bi, jnp.minimum((t + 1) * (th // 2), h2 - 1), 0, 0, 0)
 
-    out = pl.pallas_call(
-        _fwd_kernel_factory(th, w, cin, cout),
-        grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1, 2, w, cin), up_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, cin), mid_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, w, cin), dn_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * cin, cout), lambda bi, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, th * w, cout),
-                               lambda bi, t: (bi, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nt, th * w, cout), x.dtype),
-        interpret=interpret,
-    )(x.reshape(b, h2, 2, w, cin), x, x.reshape(b, h2, 2, w, cin), wk)
-    return out.reshape(b, h, w, cout)
+    return up_map, dn_map
 
 
-def conv3x3_same(x: jax.Array, w: jax.Array, *, interpret=None,
-                 row_tile=None) -> jax.Array:
-    """3x3 SAME stride-1 conv: x (B, H, W, Cin), w (3, 3, Cin, Cout)
-    -> (B, H, W, Cout). Forward-only Pallas path (probe / fused-chain
-    building block); the differentiable integration wires a custom VJP
-    on top."""
-    cin = x.shape[-1]
-    wk = w.reshape(9 * cin, -1).astype(x.dtype)
-    if interpret is None:
-        interpret = interpret_default()
-    return _conv_fwd_pallas(x, wk, interpret, row_tile)
+def _assemble(up_ref, mid_ref, dn_ref, t, nt):
+    """[up2, mid, dn2] with the out-of-image halo rows zeroed."""
+    zero = jnp.zeros((), mid_ref.dtype)
+    up = jnp.where(t == 0, zero, up_ref[0, 0])       # (2, w, cin)
+    dn = jnp.where(t == nt - 1, zero, dn_ref[0, 0])  # (2, w, cin)
+    return jnp.concatenate([up, mid_ref[0], dn], axis=0)
 
 
-def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int):
+def _width_masks(l: int, w: int):
+    """Flat-axis masks for the width-crossing taps: o % W == 0 is a
+    row's first column (garbage for dx=0), o % W == W-1 its last
+    (garbage for dx=2)."""
+    o_mod = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0), w)
+    return o_mod != 0, o_mod != (w - 1)
+
+
+def _tap_mm(xf, w_ref, l: int, w: int, cin: int, cout: int,
+            not_first, not_last):
+    """The 9 flat-shifted tap matmuls with f32 accumulation."""
+    zero = jnp.zeros((), xf.dtype)
+    acc = jnp.zeros((l, cout), jnp.float32)
+    for k in range(9):
+        dy, dx = k // 3, k % 3
+        s = (dy + 1) * w + dx - 1
+        a = xf[s:s + l]
+        if dx == 0:
+            a = jnp.where(not_first, a, zero)
+        elif dx == 2:
+            a = jnp.where(not_last, a, zero)
+        acc = acc + jnp.dot(
+            a, w_ref[k * cin:(k + 1) * cin],
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Forward: [prologue affine+relu] -> conv -> [epilogue statistics]
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_factory(th: int, w: int, cin: int, cout: int,
+                        has_pro: bool, has_epi: bool):
     l = th * w
 
-    def kernel(up_ref, mid_ref, dn_ref, g_ref, dw_ref):
+    def kernel(*refs):
+        it = iter(refs)
+        up_ref, mid_ref, dn_ref = next(it), next(it), next(it)
+        if has_pro:
+            k_ref, b_ref = next(it), next(it)
+        w_ref = next(it)
+        if has_epi:
+            s_ref = next(it)
+        o_ref = next(it)
+        if has_epi:
+            zs_ref, zq_ref = next(it), next(it)
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        xb = _assemble(up_ref, mid_ref, dn_ref, t, nt)
+        if has_pro:
+            # same cast points as the unfused chain: f32 affine+relu,
+            # then the conv-input cast back to the compute dtype.
+            act = jnp.maximum(
+                xb.astype(jnp.float32) * k_ref[0][None, None, :]
+                + b_ref[0][None, None, :], 0.0)
+            xb = act.astype(xb.dtype)
+            # re-zero the halo rows (relu(b) != 0): rows 0..1 at t==0,
+            # th+2..th+3 at t==nt-1.
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (th + 4, 1, 1), 0)
+            rlo = jnp.where(t == 0, 2, 0)
+            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+            xb = jnp.where((rows >= rlo) & (rows <= rhi), xb,
+                           jnp.zeros((), xb.dtype))
+        xf = xb.reshape((th + 4) * w, cin)
+        not_first, not_last = _width_masks(l, w)
+        acc = _tap_mm(xf, w_ref, l, w, cin, cout, not_first, not_last)
+        y = acc.astype(o_ref.dtype)
+        o_ref[0, 0] = y
+        if has_epi:
+            @pl.when(jnp.logical_and(bi == 0, t == 0))
+            def _():
+                zs_ref[...] = jnp.zeros_like(zs_ref)
+                zq_ref[...] = jnp.zeros_like(zq_ref)
+
+            # statistics of the STORED (cast) output — identical element
+            # set and values as the unfused BN statistics read.
+            z = y.astype(jnp.float32) - s_ref[0][None, :]
+            zs_ref[0] += jnp.sum(z, axis=0)
+            zq_ref[0] += jnp.sum(z * z, axis=0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_pro", "has_epi", "interpret", "row_tile"))
+def _conv_fwd_pallas(x, kin, bin_, wk, s, has_pro, has_epi, interpret,
+                     row_tile=None):
+    """x (B, H, W, Cin), wk (9*Cin, Cout) -> y (B, H, W, Cout)
+    [+ zsum, zsq (Cout,) f32 when has_epi]."""
+    b, h, w, cin = x.shape
+    cout = wk.shape[1]
+    th = row_tile or _row_tile(h, w, cin, cout)
+    nt = h // th
+    up_map, dn_map = _halo_maps(th, h // 2)
+    vm = pltpu.VMEM
+    chan = lambda c: pl.BlockSpec((1, c), lambda bi, t: (0, 0),
+                                  memory_space=vm)
+    x5 = x.reshape(b, h // 2, 2, w, cin)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, 2, w, cin), up_map, memory_space=vm),
+        pl.BlockSpec((1, th, w, cin), lambda bi, t: (bi, t, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, 2, w, cin), dn_map, memory_space=vm),
+    ]
+    args = [x5, x, x5]
+    if has_pro:
+        in_specs += [chan(cin), chan(cin)]
+        args += [kin.reshape(1, cin).astype(jnp.float32),
+                 bin_.reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(pl.BlockSpec((9 * cin, cout), lambda bi, t: (0, 0),
+                                 memory_space=vm))
+    args.append(wk)
+    out_specs = [pl.BlockSpec((1, 1, th * w, cout),
+                              lambda bi, t: (bi, t, 0, 0),
+                              memory_space=vm)]
+    out_shape = [jax.ShapeDtypeStruct((b, nt, th * w, cout), x.dtype)]
+    if has_epi:
+        in_specs.append(chan(cout))
+        args.append(s.reshape(1, cout).astype(jnp.float32))
+        out_specs += [chan(cout), chan(cout)]
+        out_shape += [jax.ShapeDtypeStruct((1, cout), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        _fwd_kernel_factory(th, w, cin, cout, has_pro, has_epi),
+        grid=(b, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    y = res[0].reshape(b, h, w, cout)
+    if has_epi:
+        return y, res[1][0], res[2][0]
+    return y, None, None
+
+
+# ---------------------------------------------------------------------------
+# dgrad: [stats-cotangent prologue] -> conv(rot W) -> [affine-bwd epilogue]
+# ---------------------------------------------------------------------------
+
+
+def _dgrad_kernel_factory(th: int, w: int, cin: int, cout: int,
+                          has_pro: bool, has_epi: bool):
+    l = th * w
+
+    def kernel(*refs):
+        it = iter(refs)
+        gup, gmid, gdn = next(it), next(it), next(it)
+        if has_epi:
+            yup, ymid, ydn = next(it), next(it), next(it)
+            s_ref, gzs_ref, gzq_ref = next(it), next(it), next(it)
+        if has_pro:
+            x_ref, k_ref, b_ref = next(it), next(it), next(it)
+        w_ref = next(it)
+        gx_ref = next(it)
+        if has_pro:
+            gk_ref, gb_ref = next(it), next(it)
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        gb_blk = _assemble(gup, gmid, gdn, t, nt)
+        if has_epi:
+            # gy_tot = gy + gzs + 2*(y - s)*gzq on the halo assembly
+            yb = _assemble(yup, ymid, ydn, t, nt).astype(jnp.float32)
+            adj = (gzs_ref[0][None, None, :]
+                   + 2.0 * (yb - s_ref[0][None, None, :])
+                   * gzq_ref[0][None, None, :])
+            gt = gb_blk.astype(jnp.float32) + adj
+            # the adjustment must not resurrect out-of-image halo rows
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
+            rlo = jnp.where(t == 0, 2, 0)
+            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+            gt = jnp.where((rows >= rlo) & (rows <= rhi), gt, 0.0)
+            gb_blk = gt.astype(gb_blk.dtype)
+        gf = gb_blk.reshape((th + 4) * w, cout)
+        not_first, not_last = _width_masks(l, w)
+        da = _tap_mm(gf, w_ref, l, w, cout, cin, not_first, not_last)
+
+        if has_pro:
+            x = x_ref[0, 0].astype(jnp.float32)          # (l, cin)
+            k = k_ref[0][None, :]
+            pre = x * k + b_ref[0][None, :]
+            gm = jnp.where(pre > 0.0, da, 0.0)
+
+            @pl.when(jnp.logical_and(bi == 0, t == 0))
+            def _():
+                gk_ref[...] = jnp.zeros_like(gk_ref)
+                gb_ref[...] = jnp.zeros_like(gb_ref)
+
+            gk_ref[0] += jnp.sum(gm * x, axis=0)
+            gb_ref[0] += jnp.sum(gm, axis=0)
+            gx_ref[0, 0] = (gm * k).astype(gx_ref.dtype)
+        else:
+            gx_ref[0, 0] = da.astype(gx_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_pro", "has_epi", "interpret", "row_tile"))
+def _conv_dgrad_pallas(gy, y, x, kin, bin_, wkr, s, gzs, gzq,
+                       has_pro, has_epi, interpret, row_tile=None):
+    """Adjusted-cotangent conv with the rotated weights; returns
+    (gx, gk, gb) — gk/gb None unless has_pro."""
+    b, h, w, cout = gy.shape
+    cin = wkr.shape[1]
+    th = row_tile or _row_tile(h, w, cout, cin, budget=9 * 1024 * 1024)
+    nt = h // th
+    up_map, dn_map = _halo_maps(th, h // 2)
+    vm = pltpu.VMEM
+    chan = lambda c: pl.BlockSpec((1, c), lambda bi, t: (0, 0),
+                                  memory_space=vm)
+    halo = lambda c, m: pl.BlockSpec((1, 1, 2, w, c), m, memory_space=vm)
+    mid = lambda c: pl.BlockSpec((1, th, w, c), lambda bi, t: (bi, t, 0, 0),
+                                 memory_space=vm)
+    g5 = gy.reshape(b, h // 2, 2, w, cout)
+
+    in_specs = [halo(cout, up_map), mid(cout), halo(cout, dn_map)]
+    args = [g5, gy, g5]
+    if has_epi:
+        y5 = y.reshape(b, h // 2, 2, w, cout)
+        in_specs += [halo(cout, up_map), mid(cout), halo(cout, dn_map),
+                     chan(cout), chan(cout), chan(cout)]
+        args += [y5, y, y5,
+                 s.reshape(1, cout).astype(jnp.float32),
+                 gzs.reshape(1, cout).astype(jnp.float32),
+                 gzq.reshape(1, cout).astype(jnp.float32)]
+    if has_pro:
+        in_specs += [
+            pl.BlockSpec((1, 1, th * w, cin), lambda bi, t: (bi, t, 0, 0),
+                         memory_space=vm),
+            chan(cin), chan(cin)]
+        args += [x.reshape(b, nt, th * w, cin),
+                 kin.reshape(1, cin).astype(jnp.float32),
+                 bin_.reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(pl.BlockSpec((9 * cout, cin), lambda bi, t: (0, 0),
+                                 memory_space=vm))
+    args.append(wkr)
+    out_specs = [pl.BlockSpec((1, 1, th * w, cin),
+                              lambda bi, t: (bi, t, 0, 0),
+                              memory_space=vm)]
+    out_shape = [jax.ShapeDtypeStruct((b, nt, th * w, cin), gy.dtype)]
+    if has_pro:
+        out_specs += [chan(cin), chan(cin)]
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+
+    res = pl.pallas_call(
+        _dgrad_kernel_factory(th, w, cin, cout, has_pro, has_epi),
+        grid=(b, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    gx = res[0].reshape(b, h, w, cin)
+    if has_pro:
+        return gx, res[1][0], res[2][0]
+    return gx, None, None
+
+
+# ---------------------------------------------------------------------------
+# wgrad: per-tap cross-correlation, f32 grid-accumulated
+# ---------------------------------------------------------------------------
+
+
+def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int,
+                          has_pro: bool, has_epi: bool):
+    l = th * w
+
+    def kernel(*refs):
+        it = iter(refs)
+        up_ref, mid_ref, dn_ref = next(it), next(it), next(it)
+        if has_pro:
+            k_ref, b_ref = next(it), next(it)
+        g_ref = next(it)
+        if has_epi:
+            y_ref, s_ref, gzs_ref, gzq_ref = (
+                next(it), next(it), next(it), next(it))
+        dw_ref = next(it)
+
         bi = pl.program_id(0)
         t = pl.program_id(1)
         nt = pl.num_programs(1)
@@ -175,22 +407,30 @@ def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int):
         def _():
             dw_ref[...] = jnp.zeros_like(dw_ref)
 
-        zero = jnp.zeros((), mid_ref.dtype)
-        up = jnp.where(t == 0, zero, up_ref[0, 0])
-        dn = jnp.where(t == nt - 1, zero, dn_ref[0, 0])
-        xb = jnp.concatenate([up, mid_ref[0], dn], axis=0)
+        xb = _assemble(up_ref, mid_ref, dn_ref, t, nt)
+        if has_pro:
+            act = jnp.maximum(
+                xb.astype(jnp.float32) * k_ref[0][None, None, :]
+                + b_ref[0][None, None, :], 0.0)
+            xb = act.astype(xb.dtype)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
+            rlo = jnp.where(t == 0, 2, 0)
+            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+            xb = jnp.where((rows >= rlo) & (rows <= rhi), xb,
+                           jnp.zeros((), xb.dtype))
         xf = xb.reshape((th + 4) * w, cin)
-        g = g_ref[0, 0]                                   # (l, cout)
+        g = g_ref[0, 0]                                  # (l, cout)
+        if has_epi:
+            z = y_ref[0, 0].astype(jnp.float32) - s_ref[0][None, :]
+            g = (g.astype(jnp.float32) + gzs_ref[0][None, :]
+                 + 2.0 * z * gzq_ref[0][None, :]).astype(g.dtype)
 
-        o_mod = jax.lax.rem(
-            jax.lax.broadcasted_iota(jnp.int32, (l, 1), 0), w)
-        not_first = o_mod != 0
-        not_last = o_mod != (w - 1)
-
+        not_first, not_last = _width_masks(l, w)
+        zero = jnp.zeros((), xf.dtype)
         for k in range(9):
             dy, dx = k // 3, k % 3
-            s = (dy + 1) * w + dx - 1
-            a = xf[s:s + l]
+            s_off = (dy + 1) * w + dx - 1
+            a = xf[s_off:s_off + l]
             if dx == 0:
                 a = jnp.where(not_first, a, zero)
             elif dx == 2:
@@ -203,43 +443,62 @@ def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "row_tile"))
-def _conv_wgrad_pallas(x, gy, interpret, row_tile=None):
-    """x (B, H, W, Cin), gy (B, H, W, Cout) -> dW (9*Cin, Cout) f32:
-    per-tap cross-correlation, grid-accumulated in one VMEM-resident
-    f32 buffer (the out index map is constant, so the block persists
-    across the whole sequential grid)."""
+@functools.partial(
+    jax.jit, static_argnames=("has_pro", "has_epi", "interpret", "row_tile"))
+def _conv_wgrad_pallas(x, kin, bin_, gy, y, s, gzs, gzq,
+                       has_pro, has_epi, interpret, row_tile=None):
+    """dW (9*Cin, Cout) f32: per-tap cross-correlation of the
+    (recomputed) activated input with the (adjusted) cotangent,
+    grid-accumulated in one VMEM-resident f32 buffer (the out index
+    map is constant, so the block persists across the whole
+    sequential grid)."""
     b, h, w, cin = x.shape
     cout = gy.shape[-1]
-    th = row_tile or _row_tile(h, w, cin, cout)
+    th = row_tile or _row_tile(h, w, cin, cout, budget=9 * 1024 * 1024)
     nt = h // th
-    h2 = h // 2
+    up_map, dn_map = _halo_maps(th, h // 2)
+    vm = pltpu.VMEM
+    chan = lambda c: pl.BlockSpec((1, c), lambda bi, t: (0, 0),
+                                  memory_space=vm)
+    flat = lambda c: pl.BlockSpec((1, 1, th * w, c),
+                                  lambda bi, t: (bi, t, 0, 0),
+                                  memory_space=vm)
+    x5 = x.reshape(b, h // 2, 2, w, cin)
 
-    def up_map(bi, t):
-        return (bi, jnp.maximum(t * (th // 2) - 1, 0), 0, 0, 0)
-
-    def dn_map(bi, t):
-        return (bi, jnp.minimum((t + 1) * (th // 2), h2 - 1), 0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, 2, w, cin), up_map, memory_space=vm),
+        pl.BlockSpec((1, th, w, cin), lambda bi, t: (bi, t, 0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((1, 1, 2, w, cin), dn_map, memory_space=vm),
+    ]
+    args = [x5, x, x5]
+    if has_pro:
+        in_specs += [chan(cin), chan(cin)]
+        args += [kin.reshape(1, cin).astype(jnp.float32),
+                 bin_.reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(flat(cout))
+    args.append(gy.reshape(b, nt, th * w, cout))
+    if has_epi:
+        in_specs += [flat(cout), chan(cout), chan(cout), chan(cout)]
+        args += [y.reshape(b, nt, th * w, cout),
+                 s.reshape(1, cout).astype(jnp.float32),
+                 gzs.reshape(1, cout).astype(jnp.float32),
+                 gzq.reshape(1, cout).astype(jnp.float32)]
 
     return pl.pallas_call(
-        _wgrad_kernel_factory(th, w, cin, cout),
+        _wgrad_kernel_factory(th, w, cin, cout, has_pro, has_epi),
         grid=(b, nt),
-        in_specs=[
-            pl.BlockSpec((1, 1, 2, w, cin), up_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, cin), lambda bi, t: (bi, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 2, w, cin), dn_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, th * w, cout), lambda bi, t: (bi, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((9 * cin, cout), lambda bi, t: (0, 0),
-                               memory_space=pltpu.VMEM),
+                               memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
         interpret=interpret,
-    )(x.reshape(b, h2, 2, w, cin), x, x.reshape(b, h2, 2, w, cin),
-      gy.reshape(b, nt, th * w, cout))
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable entry points
+# ---------------------------------------------------------------------------
 
 
 def _rot180_swap(wk: jax.Array, cin: int, cout: int) -> jax.Array:
@@ -249,29 +508,79 @@ def _rot180_swap(wk: jax.Array, cin: int, cout: int) -> jax.Array:
     return w9[::-1, ::-1].transpose(0, 1, 3, 2).reshape(9 * cout, cin)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def conv3x3(x: jax.Array, wk: jax.Array, interpret: bool = False):
-    """Differentiable 3x3 SAME conv on tap-major weights
-    ``wk (9*Cin, Cout)``: forward/dgrad share the flat-tap kernel
-    (dgrad is the same conv with the rotated-transposed weights);
-    wgrad is the per-tap cross-correlation kernel with f32
-    grid-accumulation."""
-    return _conv_fwd_pallas(x, wk, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def conv_bn_fused(x, kin, bin_, wk, s,
+                  has_pro: bool, has_epi: bool, interpret: bool):
+    """Fused [affine+relu ->] 3x3 SAME conv [-> BN statistics].
+
+    x (B, H, W, Cin) raw previous-layer output; kin/bin (Cin,) f32 the
+    previous BN's collapsed affine (ignored when ``has_pro=False``);
+    wk (9*Cin, Cout) tap-major weights; s (Cout,) f32 the output BN's
+    stop-gradient stat shift (ignored when ``has_epi=False``).
+
+    Returns ``(y, zsum, zsq)`` — zsum/zsq are (Cout,) f32 sums of
+    ``z = y - s`` and ``z*z`` over all B*H*W positions (None-shaped
+    zeros when ``has_epi=False``). ``s`` gets zero cotangent (it is
+    stop-gradient at every call site, like pool_moments)."""
+    y, zs, zq = _conv_fwd_pallas(x, kin, bin_, wk, s, has_pro, has_epi,
+                                 interpret)
+    if not has_epi:
+        cout = wk.shape[1]
+        zs = jnp.zeros((cout,), jnp.float32)
+        zq = jnp.zeros((cout,), jnp.float32)
+    return y, zs, zq
 
 
-def _conv3x3_fwd(x, wk, interpret):
-    return _conv_fwd_pallas(x, wk, interpret), (x, wk)
+def _cbf_fwd(x, kin, bin_, wk, s, has_pro, has_epi, interpret):
+    out = conv_bn_fused(x, kin, bin_, wk, s, has_pro, has_epi, interpret)
+    return out, (x, kin, bin_, wk, s, out[0])
 
 
-def _conv3x3_bwd(interpret, res, gy):
-    x, wk = res
+def _cbf_bwd(has_pro, has_epi, interpret, res, cots):
+    x, kin, bin_, wk, s, y = res
+    gy, gzs, gzq = cots
     cin, cout = wk.shape[0] // 9, wk.shape[1]
-    dx = _conv_fwd_pallas(gy, _rot180_swap(wk, cin, cout), interpret)
-    dw = _conv_wgrad_pallas(x, gy, interpret).astype(wk.dtype)
-    return dx, dw
+    gy = gy.astype(y.dtype)
+    gx, gk, gb = _conv_dgrad_pallas(
+        gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,
+        has_pro, has_epi, interpret)
+    dw = _conv_wgrad_pallas(
+        x, kin, bin_, gy, y, s, gzs, gzq, has_pro, has_epi, interpret
+    ).astype(wk.dtype)
+    if not has_pro:
+        gk = jnp.zeros_like(kin)
+        gb = jnp.zeros_like(bin_)
+    return gx, gk.astype(kin.dtype), gb.astype(bin_.dtype), dw, \
+        jnp.zeros_like(s)
 
 
-conv3x3.defvjp(_conv3x3_fwd, _conv3x3_bwd)
+conv_bn_fused.defvjp(_cbf_fwd, _cbf_bwd)
+
+
+def conv3x3(x: jax.Array, wk: jax.Array, interpret: bool = False):
+    """Differentiable plain 3x3 SAME conv on tap-major weights
+    ``wk (9*Cin, Cout)`` (no prologue/epilogue)."""
+    cout = wk.shape[1]
+    z = jnp.zeros((cout,), jnp.float32)
+    dummy = jnp.zeros((x.shape[-1],), jnp.float32)
+    y, _, _ = conv_bn_fused(x, dummy, dummy, wk, z, False, False, interpret)
+    return y
+
+
+def conv3x3_same(x: jax.Array, w: jax.Array, *, interpret=None,
+                 row_tile=None) -> jax.Array:
+    """3x3 SAME stride-1 conv: x (B, H, W, Cin), w (3, 3, Cin, Cout)
+    -> (B, H, W, Cout). Non-differentiable probe entry (row_tile
+    override for the sweep)."""
+    cin = x.shape[-1]
+    wk = w.reshape(9 * cin, -1).astype(x.dtype)
+    if interpret is None:
+        interpret = interpret_default()
+    dummy = jnp.zeros((cin,), jnp.float32)
+    z = jnp.zeros((wk.shape[1],), jnp.float32)
+    y, _, _ = _conv_fwd_pallas(x, dummy, dummy, wk, z, False, False,
+                               interpret, row_tile)
+    return y
 
 
 def conv3x3_oracle(x: jax.Array, w: jax.Array) -> jax.Array:

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fpsg_tpu.ops.conv3x3 import conv3x3, conv3x3_oracle, conv3x3_same
+from fpsg_tpu.ops.conv3x3 import (
+    conv3x3, conv3x3_oracle, conv3x3_same, conv_bn_fused)
 
 
 @pytest.mark.parametrize("h,w,cin,cout,rt", [
@@ -44,6 +45,73 @@ def test_vjp_matches_oracle_exactly(h, w, cin, cout):
     np.testing.assert_array_equal(np.asarray(gx_p), np.asarray(gx_o))
     np.testing.assert_array_equal(
         np.asarray(gw_p.reshape(3, 3, cin, cout)), np.asarray(gw_o))
+
+
+def _unfused_reference(x, kin, bin_, wt, s, has_pro, has_epi):
+    """The composite the fusion replaces: affine+relu -> conv -> shifted
+    statistics, as plain jnp ops."""
+    a = x
+    if has_pro:
+        # torch relu tie rule (zero gradient at pre == 0, matching the
+        # production normalization._affine_relu custom VJP); the naive
+        # jnp.maximum(pre, 0) routes tie gradients to the input.
+        pre = (x * kin[None, None, None, :]
+               + bin_[None, None, None, :])
+        a = jnp.where(pre > 0, pre, 0.0)
+    y = conv3x3_oracle(a, wt)
+    if has_epi:
+        z = y - s[None, None, None, :]
+        return y, jnp.sum(z, axis=(0, 1, 2)), jnp.sum(z * z, axis=(0, 1, 2))
+    cout = y.shape[-1]
+    return y, jnp.zeros((cout,)), jnp.zeros((cout,))
+
+
+@pytest.mark.parametrize("has_pro", [False, True])
+@pytest.mark.parametrize("has_epi", [False, True])
+def test_fused_conv_bn_matches_unfused_exactly(has_pro, has_epi):
+    """Values AND all gradients (x, affine k/b, weights) of the fused
+    kernel family equal the unfused composite, on integer grids where
+    every accumulation order gives the same f32 answer."""
+    h, w, cin, cout = 12, 10, 16, 24
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randint(-3, 4, (2, h, w, cin)).astype(np.float32))
+    wt = jnp.asarray(rng.randint(-2, 3, (3, 3, cin, cout)).astype(np.float32))
+    kin = jnp.asarray(rng.randint(-2, 3, (cin,)).astype(np.float32))
+    bin_ = jnp.asarray(rng.randint(-2, 3, (cin,)).astype(np.float32))
+    s = jnp.asarray(rng.randint(-2, 3, (cout,)).astype(np.float32))
+    gy = jnp.asarray(rng.randint(-2, 3, (2, h, w, cout)).astype(np.float32))
+    gzs = jnp.asarray(rng.randint(-2, 3, (cout,)).astype(np.float32))
+    gzq = jnp.asarray(rng.randint(-2, 3, (cout,)).astype(np.float32))
+    wk = wt.reshape(9 * cin, cout)
+
+    def loss_f(x, kin, bin_, wk):
+        y, zs, zq = conv_bn_fused(x, kin, bin_, wk, s, has_pro, has_epi,
+                                  True)
+        return jnp.vdot(y, gy) + jnp.vdot(zs, gzs) + jnp.vdot(zq, gzq)
+
+    def loss_u(x, kin, bin_, wt):
+        y, zs, zq = _unfused_reference(x, kin, bin_, wt, s, has_pro,
+                                       has_epi)
+        return jnp.vdot(y, gy) + jnp.vdot(zs, gzs) + jnp.vdot(zq, gzq)
+
+    outs_f = conv_bn_fused(x, kin, bin_, wk, s, has_pro, has_epi, True)
+    outs_u = _unfused_reference(x, kin, bin_, wt, s, has_pro, has_epi)
+    for f, u, name in zip(outs_f, outs_u, ("y", "zsum", "zsq")):
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(u),
+                                      err_msg=name)
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2, 3))(x, kin, bin_, wk)
+    g_u = jax.grad(loss_u, argnums=(0, 1, 2, 3))(x, kin, bin_, wt)
+    np.testing.assert_array_equal(np.asarray(g_f[0]), np.asarray(g_u[0]),
+                                  err_msg="gx")
+    if has_pro:
+        np.testing.assert_array_equal(np.asarray(g_f[1]), np.asarray(g_u[1]),
+                                      err_msg="gk")
+        np.testing.assert_array_equal(np.asarray(g_f[2]), np.asarray(g_u[2]),
+                                      err_msg="gb")
+    np.testing.assert_array_equal(
+        np.asarray(g_f[3].reshape(3, 3, cin, cout)), np.asarray(g_u[3]),
+        err_msg="gw")
 
 
 def test_same_padding_is_real_zeros():

@@ -65,9 +65,22 @@ def test_conv3x3_kernels_lower(b, h, w, cin, cout):
 
     x = jnp.zeros((b, h, w, cin), jnp.bfloat16)
     wk = jnp.zeros((9 * cin, cout), jnp.bfloat16)
-    _lowers(functools.partial(cv._conv_fwd_pallas, interpret=False), x, wk)
     gy = jnp.zeros((b, h, w, cout), jnp.bfloat16)
-    _lowers(functools.partial(cv._conv_wgrad_pallas, interpret=False), x, gy)
+    y = jnp.zeros((b, h, w, cout), jnp.bfloat16)
+    ci = jnp.zeros((cin,), jnp.float32)
+    co = jnp.zeros((cout,), jnp.float32)
+    wkr = jnp.zeros((9 * cout, cin), jnp.bfloat16)
+    for has_pro in (False, True):
+        for has_epi in (False, True):
+            _lowers(functools.partial(
+                cv._conv_fwd_pallas, has_pro=has_pro, has_epi=has_epi,
+                interpret=False), x, ci, ci, wk, co)
+            _lowers(functools.partial(
+                cv._conv_dgrad_pallas, has_pro=has_pro, has_epi=has_epi,
+                interpret=False), gy, y, x, ci, ci, wkr, co, co, co)
+            _lowers(functools.partial(
+                cv._conv_wgrad_pallas, has_pro=has_pro, has_epi=has_epi,
+                interpret=False), x, ci, ci, gy, y, co, co, co)
 
 
 @pytest.mark.slow
