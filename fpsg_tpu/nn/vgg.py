@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fpsg_tpu.nn.activations import relu
-from fpsg_tpu.nn.normalization import BatchNorm
+from fpsg_tpu.nn.normalization import BatchNorm, _affine_relu
+from fpsg_tpu.ops._pallas_utils import interpret_default
 
 # torchvision cfg 'D' (vgg16): conv widths with 'M' maxpools.
 VGG16_CFG: Sequence[Union[int, str]] = (
@@ -233,6 +234,32 @@ _phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
 # test hook: force the one-pass pool-moments kernel (interpret mode) on
 # CPU so the fused BN→pool wiring is CI-covered (tests/test_pool_moments.py)
 _FORCE_POOL_KERNEL = False
+_FORCE_CONV_KERNEL = False  # tests: run the fused conv+BN chain in
+                            # interpret mode off-TPU
+_FC_SKIP = frozenset()      # feature indices whose conv site runs the
+                            # tensor path (per-site dispatch/bisection)
+
+
+def _inject_conv_stats(bn_mod, s_c, zs, zq, n, fold, phases: int = 1):
+    """Fold the fused conv's epilogue statistics into the BN module
+    (stats-injection mode, exactly like _bn_pool_fused): phase-fold,
+    cross-replica psum, shifted mean/var, running-stat update; returns
+    the collapsed per-channel affine (k, b) f32 at LOGICAL width."""
+    if phases > 1:
+        c = zs.shape[0] // phases
+        zs = sum(zs[i * c:(i + 1) * c] for i in range(phases))
+        zq = sum(zq[i * c:(i + 1) * c] for i in range(phases))
+        n = n * phases
+    ax = bn_mod.axis_name
+    if ax is not None:
+        zs = jax.lax.psum(zs, ax)
+        zq = jax.lax.psum(zq, ax)
+        n = n * jax.lax.psum(1, ax)
+    mz = zs / n
+    mean = mz + s_c
+    var = jnp.maximum(zq / n - mz * mz, 0.0)
+    return bn_mod(None, False, shift=fold, stats=(mean, var, n),
+                  return_affine=True)
 
 
 def _bn_pool_fused(y, fold, bn_mod, out_dtype):
@@ -302,7 +329,7 @@ class _ConvFold(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, return_params: bool = False):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", _conv_init,
                             (3, 3, in_ch, self.features))
@@ -314,6 +341,10 @@ class _ConvFold(nn.Module):
             (self.features,),
         )
         dt = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
+        if return_params:
+            # fused-conv orchestration happens at VGG scope (a flax
+            # module cannot call its parent's sibling BN from here)
+            return kernel, bias, dt
         y = jax.lax.conv_general_dilated(
             x.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -334,7 +365,7 @@ class _ConvFoldS2D(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, xp: jax.Array):
+    def __call__(self, xp: jax.Array, return_params: bool = False):
         kernel = self.param("kernel", _conv_init,
                             (3, 3, self.logical_in, self.features))
         bound = (1.0 / (9 * self.logical_in)) ** 0.5
@@ -345,6 +376,8 @@ class _ConvFoldS2D(nn.Module):
             (self.features,),
         )
         dt = self.dtype or jnp.promote_types(xp.dtype, kernel.dtype)
+        if return_params:
+            return kernel, bias, dt
         y = jax.lax.conv_general_dilated(
             xp.astype(dt), _s2d_kernel(kernel).astype(dt),
             (1, 1), ((1, 1), (1, 1)),
@@ -425,6 +458,13 @@ class VGG16BN(nn.Module):
                                  # space-to-depth packed space (identical
                                  # math at full-lane MXU rates; see the
                                  # module comment at _S2D_TAP)
+    fused_conv: bool = True      # run the conv+BN chain through the
+                                 # fused Pallas conv kernels in train
+                                 # mode (ops/conv3x3.py): the previous
+                                 # BN's affine+relu in the conv prologue,
+                                 # output statistics in its epilogue —
+                                 # the normalized tensors and statistics
+                                 # read passes never materialize
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -436,6 +476,7 @@ class VGG16BN(nn.Module):
                              two_pass=self.precise_stats, activation="relu",
                              name=f"features_{idx}")
 
+        from fpsg_tpu.ops.conv3x3 import conv_bn_fused
         from fpsg_tpu.ops.pool_moments import supports_kernel
 
         def fused_ok(y):
@@ -444,6 +485,20 @@ class VGG16BN(nn.Module):
             # single-read stats only; the tensor path is the fallback).
             return train and not self.precise_stats and (
                 supports_kernel(y) or _FORCE_POOL_KERNEL)
+
+        # Fused-conv chain gate (same conditions as the pool kernels;
+        # per-site h must be even for the kernel's 2-row halo refs).
+        use_fc = (train and not self.precise_stats and self.fused_conv
+                  and (not interpret_default() or _FORCE_CONV_KERNEL))
+        interp = interpret_default()
+
+        def mat(pending):
+            # materialize a raw conv output whose affine+relu was meant
+            # for the next conv's prologue (fallback sites only)
+            y, k2, b2 = pending
+            return _affine_relu(
+                y, k2[None, None, None, :], b2[None, None, None, :]
+            ).astype(y.dtype)
 
         idx = 0
         cfg = VGG16_CFG
@@ -455,45 +510,121 @@ class VGG16BN(nn.Module):
             # unchanged); the closing maxpool is the row-pair + phase max
             # (fused with conv1_2's BN when the kernel path is on).
             xp = _s2d_pack(x)
-            y, fold = _ConvFoldS2D(64, logical_in=3, dtype=self.dtype,
-                                   name="features_0")(xp)
-            xp = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
-                           two_pass=self.precise_stats,
-                           activation="relu", phase_groups=2,
-                           name="features_1")(y, not train, shift=fold)
-            y, fold = _ConvFoldS2D(64, logical_in=64, dtype=self.dtype,
-                                   name="features_3")(xp)
+            conv11 = _ConvFoldS2D(64, logical_in=3, dtype=self.dtype,
+                                  name="features_0")
+            bn11 = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+                             two_pass=self.precise_stats,
+                             activation="relu", phase_groups=2,
+                             name="features_1")
+            conv12 = _ConvFoldS2D(64, logical_in=64, dtype=self.dtype,
+                                  name="features_3")
             bn1 = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
                             two_pass=self.precise_stats,
                             activation="relu", phase_groups=2,
                             name="features_4")
-            if fused_ok(y):
-                x = _bn_pool_fused(y, fold, bn1, self.dtype)
+            y, fold = conv11(xp)   # XLA conv: cin=6 is lane-starved in
+                                   # Pallas; its epilogue would not pay
+            if use_fc and y.shape[1] % 2 == 0:
+                # stats-only single read of y (XLA fuses sub/sq/reduce
+                # into one pass — the separate affine write+read of the
+                # 417 MB features_1 tensor is what disappears here); the
+                # affine+relu fuses into conv1_2's Pallas prologue.
+                s_c = bn11(None, True, shift=fold, return_shift=True,
+                           param_shape_hint=(64,))
+                z = y.astype(jnp.float32) - jnp.tile(s_c, 2)
+                zs = jnp.sum(z, axis=(0, 1, 2))
+                zq = jnp.sum(z * z, axis=(0, 1, 2))
+                n = y.shape[0] * y.shape[1] * y.shape[2]
+                k1, b1 = _inject_conv_stats(bn11, s_c, zs, zq, n, fold,
+                                            phases=2)
+                kern2, fold2, dt2 = conv12(y, return_params=True)
+                wk2 = _s2d_kernel(kern2).astype(dt2).reshape(9 * 128, 128)
+                y2, _, _ = conv_bn_fused(
+                    y.astype(dt2), jnp.tile(k1, 2), jnp.tile(b1, 2), wk2,
+                    jnp.zeros((128,), jnp.float32), True, False, interp)
+                if fused_ok(y2):
+                    x = _bn_pool_fused(y2, fold2, bn1, self.dtype)
+                else:
+                    x = _phase_max(bn1(y2, not train, shift=fold2))
             else:
-                x = _phase_max(bn1(y, not train, shift=fold))
+                xp = bn11(y, not train, shift=fold)
+                y, fold = conv12(xp)
+                if fused_ok(y):
+                    x = _bn_pool_fused(y, fold, bn1, self.dtype)
+                else:
+                    x = _phase_max(bn1(y, not train, shift=fold))
             idx = 7  # past conv1_1(0..2), conv1_2(3..5), pool(6)
             cfg = VGG16_CFG[3:]
         j = 0
+        pending = None   # raw conv output + its BN affine, awaiting
+                         # fusion into the next conv's prologue
         while j < len(cfg):
             v = cfg[j]
             if v == "M":
+                if pending is not None:
+                    x, pending = mat(pending), None
                 x = _maxpool_2x2(x)
                 idx += 1
                 j += 1
                 continue
-            y, b = _ConvFold(int(v), dtype=self.dtype,
-                             name=f"features_{idx}")(x)
+            v = int(v)
+            conv = _ConvFold(v, dtype=self.dtype, name=f"features_{idx}")
             bn_mod = bn(idx + 1)
-            if j + 1 < len(cfg) and cfg[j + 1] == "M":
-                yp = _s2d_pack(y)  # free width-merge view
+            pre_pool = j + 1 < len(cfg) and cfg[j + 1] == "M"
+            h_in = (pending[0] if pending is not None else x).shape[1]
+            if not (use_fc and h_in % 2 == 0 and idx not in _FC_SKIP):
+                if pending is not None:
+                    x, pending = mat(pending), None
+                y, b = conv(x)
+                if pre_pool:
+                    yp = _s2d_pack(y)  # free width-merge view
+                    if fused_ok(yp):
+                        x = _bn_pool_fused(yp, b, bn_mod, self.dtype)
+                        idx += 4  # conv, bn, relu, pool
+                        j += 2
+                        continue
+                x = bn_mod(y, not train, shift=b)
+                idx += 3  # conv, bn, relu
+                j += 1
+                continue
+            # ---- fused conv site ----------------------------------------
+            if pending is None:
+                xin, has_pro = x, False
+                kz = bz = None
+            else:
+                (xin, kz, bz), has_pro = pending, True
+                pending = None
+            kern, fold, dt = conv(xin, return_params=True)
+            cin = kern.shape[2]
+            wk = kern.astype(dt).reshape(9 * cin, v)
+            if kz is None:
+                kz = jnp.zeros((cin,), jnp.float32)
+                bz = jnp.zeros((cin,), jnp.float32)
+            if pre_pool:
+                y, _, _ = conv_bn_fused(
+                    xin.astype(dt), kz, bz, wk,
+                    jnp.zeros((v,), jnp.float32), has_pro, False, interp)
+                yp = _s2d_pack(y)
                 if fused_ok(yp):
-                    x = _bn_pool_fused(yp, b, bn_mod, self.dtype)
-                    idx += 4  # conv, bn, relu, pool
+                    x = _bn_pool_fused(yp, fold, bn_mod, self.dtype)
+                    idx += 4
                     j += 2
                     continue
-            x = bn_mod(y, not train, shift=b)
-            idx += 3  # conv, bn, relu
+                x = bn_mod(y, not train, shift=fold)
+                idx += 3
+                j += 1
+                continue
+            s_c = bn_mod(None, True, shift=fold, return_shift=True,
+                         param_shape_hint=(v,))
+            y, zs, zq = conv_bn_fused(xin.astype(dt), kz, bz, wk, s_c,
+                                      has_pro, True, interp)
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            k2, b2 = _inject_conv_stats(bn_mod, s_c, zs, zq, n, fold)
+            pending = (y, k2, b2)
+            idx += 3
             j += 1
+        if pending is not None:
+            x, pending = mat(pending), None
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 

@@ -1,0 +1,79 @@
+"""Fused conv+BN chain (ops/conv3x3.py via nn/vgg.py) vs the tensor path.
+
+The fused chain changes WHERE the affine/statistics math runs (conv
+prologue/epilogue) but not what is computed; these tests pin the
+equivalence at full VGG depth in train mode, the only mode the fused
+path serves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import fpsg_tpu.nn.vgg as vgg
+
+
+def _run(m, v, x):
+    def loss(p):
+        out, mut = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x, True,
+            mutable=["batch_stats"])
+        return jnp.sum(out ** 2), (out, mut["batch_stats"])
+
+    (l, (out, stats)), g = jax.value_and_grad(
+        loss, has_aux=True)(v["params"])
+    return l, out, stats, g
+
+
+@pytest.mark.parametrize("s2d", [True, False])
+def test_vgg_fused_conv_matches_tensor_path(monkeypatch, s2d):
+    """Full VGG16-bn train step with every conv site on the fused
+    Pallas chain (forced interpret kernels) vs the tensor path:
+    outputs, BN running stats, and gradients agree within the paths'
+    OWN epsilon-sensitivity (the test_pool_moments self-calibrated
+    floor, taken over BOTH paths — near-tie maxpool windows reroute
+    O(1) cotangent under ANY ~1e-6 perturbation, and at s2d=False this
+    seed sits on a tie whose reroute is a measured 1.3e-2 grad-norm
+    event on the fused AND the tensor path alike; a one-sided floor
+    probe can miss it)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(k1, (2, 32, 32, 3), jnp.float32)
+    dx = 1e-6 * jax.random.normal(k3, x.shape)
+    m = vgg.VGG16BN(s2d_block1=s2d)
+    v = m.init({"params": k2}, x, True)
+
+    l_fb, out_fb, st_fb, g_fb = _run(m, v, x)
+    _, _, _, g_noise = _run(m, v, x + dx)
+    monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
+    monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
+    l_k, out_k, st_k, g_k = _run(m, v, x)
+    _, _, _, g_knoise = _run(m, v, x + dx)
+
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_fb),
+                               rtol=1e-4, atol=5e-5)
+    for a, b in zip(jax.tree.leaves(st_k), jax.tree.leaves(st_fb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for gk, gfb, gn, gkn in zip(
+            jax.tree.leaves(g_k), jax.tree.leaves(g_fb),
+            jax.tree.leaves(g_noise), jax.tree.leaves(g_knoise)):
+        gk, gfb, gn, gkn = map(np.asarray, (gk, gfb, gn, gkn))
+        ref = np.linalg.norm(gfb) + 1e-12
+        frob = np.linalg.norm(gk - gfb) / ref
+        floor = max(np.linalg.norm(gn - gfb),
+                    np.linalg.norm(gkn - gk)) / ref
+        assert frob <= max(3.0 * floor, 1e-4), (frob, floor)
+
+
+def test_vgg_fused_conv_eval_mode_unaffected(monkeypatch):
+    """Eval mode must take the tensor path bit-for-bit regardless of
+    the fused-conv flag (the fused chain is train-only)."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    x = jax.random.normal(k1, (1, 32, 32, 3), jnp.float32)
+    m = vgg.VGG16BN()
+    v = m.init({"params": k2}, x, True)
+    out_fb = m.apply(v, x, False)
+    monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
+    out_k = m.apply(v, x, False)
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(out_fb))

@@ -81,6 +81,18 @@ def test_conv3x3_kernels_lower(b, h, w, cin, cout):
             _lowers(functools.partial(
                 cv._conv_wgrad_pallas, has_pro=has_pro, has_epi=has_epi,
                 interpret=False), x, ci, ci, gy, y, co, co, co)
+    # the train step vmaps episodes (even at E=1): the fused fwd must
+    # also lower under the pallas batching rule
+    xe = jnp.zeros((2,) + x.shape, jnp.bfloat16)
+
+    def vmapped(xe, wk):
+        return jax.vmap(
+            lambda xx: cv._conv_fwd_pallas(
+                xx, ci, ci, wk, co, has_pro=True, has_epi=True,
+                interpret=False)
+        )(xe)
+
+    _lowers(vmapped, xe, wk)
 
 
 @pytest.mark.slow
@@ -122,6 +134,10 @@ def test_full_production_train_step_lowers(monkeypatch):
     monkeypatch.setattr(pm, "interpret_default", lambda: False)
     monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
     monkeypatch.setattr(pn, "_FORCE_MOMENTS_KERNEL", True)
+    # fused conv chain: vgg gates on its own interpret_default and
+    # passes it down to conv_bn_fused
+    monkeypatch.setattr(vgg, "interpret_default", lambda: False)
+    monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
 
     # n_episodes=2: the kernels also lower under the vmap batching rule
     # (batch grid dim + per-episode accumulator blocks)
