@@ -71,7 +71,8 @@ def _enable_compile_cache():
 
 def measure_ours(n_episodes: int, steps: int, warmup: int,
                  compute_dtype: str = "bf16",
-                 steps_per_call: int = 8) -> float:
+                 steps_per_call: int = 8,
+                 fused_conv: bool = True) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +90,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         pc_backbone="pointnet",
         intra_support=True,
         dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
+        fused_conv=fused_conv,
     )
     corpus = DeviceCorpus.build(
         synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
@@ -144,6 +146,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch-CPU reference baseline")
+    ap.add_argument("--no-fused-conv", dest="fused_conv",
+                    action="store_false",
+                    help="run the VGG branch without the fused Pallas "
+                         "conv+BN chain (A/B comparison)")
     ap.add_argument("--compute-dtype", type=str, default="bf16",
                     choices=["f32", "bf16"],
                     help="mixed-precision compute dtype (params/BN stats/"
@@ -169,7 +175,8 @@ def main():
 
     eps = measure_ours(
         args.episodes_per_step, args.steps, args.warmup,
-        args.compute_dtype, steps_per_call=args.steps_per_call)
+        args.compute_dtype, steps_per_call=args.steps_per_call,
+        fused_conv=args.fused_conv)
     out = {
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),

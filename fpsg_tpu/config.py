@@ -88,6 +88,8 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
+    fused_conv: bool = True      # fused Pallas conv+BN chain on the VGG
+                                 # image branch (train-mode; TPU only)
     precise_stats: bool = False  # two-pass BN variance everywhere — the
                                  # exact torch-trajectory parity mode
                                  # (PARITY.md round-2 notes); ~5% slower
@@ -174,6 +176,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--compute_dtype", type=str, default=d.compute_dtype,
       choices=["f32", "bf16"])
     p("--precise_stats", action="store_true")
+    p("--no_fused_conv", dest="fused_conv", action="store_false")
     p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")

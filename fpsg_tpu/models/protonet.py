@@ -90,6 +90,9 @@ class ImgPCProtoNet(nn.Module):
     aggregate: str = "single"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    fused_conv: bool = True      # fused Pallas conv+BN chain for the VGG
+                                 # image branch in train mode
+                                 # (fpsg_tpu.ops.conv3x3)
     precise_stats: bool = False  # two-pass BN variance everywhere: exact
                                  # reference-trajectory stats (the parity
                                  # tests run in this mode); default is the
@@ -127,6 +130,7 @@ class ImgPCProtoNet(nn.Module):
         self.img_encoder = img_cls(
             backbone=self.img_backbone, axis_name=self.axis_name,
             dtype=self.dtype, precise_stats=self.precise_stats,
+            fused_conv=self.fused_conv,
             name="img_encoder",
         )
         self.pc_encoder = PCEncoder(

@@ -654,12 +654,14 @@ class ImageEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
+    fused_conv: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.backbone == "vgg_16":
             return VGG16BN(axis_name=self.axis_name, dtype=self.dtype,
                            precise_stats=self.precise_stats,
+                           fused_conv=self.fused_conv,
                            name="encoder")(x, train)
         if self.backbone == "tiny":
             return TinyImageEncoder(axis_name=self.axis_name, name="encoder")(

@@ -59,6 +59,7 @@ def build_model(conf: FPSGConfig, axis_name: Optional[str] = None):
         intra_support=conf.intra_recon,
         aggregate=conf.aggregate,
         precise_stats=conf.precise_stats,
+        fused_conv=conf.fused_conv,
         axis_name=axis_name,
     )
 
