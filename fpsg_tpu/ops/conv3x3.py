@@ -497,6 +497,193 @@ def _conv_wgrad_pallas(x, kin, bin_, gy, y, s, gzs, gzq,
 
 
 # ---------------------------------------------------------------------------
+# Combined backward: dgrad + wgrad (+ affine bwd + stats adjust) in ONE
+# kernel — x, gy, y are each read once instead of once per split kernel.
+# ---------------------------------------------------------------------------
+
+
+def _combined_row_tile(h: int, w: int, cin: int, cout: int):
+    """Row tile for the combined backward, or None when its VMEM
+    working set (BOTH weight/dW planes + three halo assemblies + two
+    tap-unroll livenesses) cannot fit the ~16 MB scope — the 512-ch
+    blocks stay on the split kernels."""
+    fixed = 9 * cout * cin * 2 + 9 * cin * cout * 4   # wkr + dW
+    budget = 13 * 1024 * 1024
+    for cand in (32, 28, 16, 14, 8, 4, 2):
+        if h % cand:
+            continue
+        l = cand * w
+        asm = 2 * (cand + 4) * w * (cin + 2 * cout) * 2   # x + gy + y in
+        gt = (cand + 4) * w * cout * (4 + 2)              # f32 + cast
+        a = (cand + 4) * w * cin * 2
+        taps = 9 * l * (cout + cin) * 2
+        acc = l * cin * 4
+        gx = 2 * l * cin * 2
+        if fixed + asm + gt + a + taps + acc + gx < budget:
+            return cand
+    return None
+
+
+def _cbwd_kernel_factory(th: int, w: int, cin: int, cout: int,
+                         has_pro: bool, has_epi: bool):
+    l = th * w
+
+    def kernel(*refs):
+        it = iter(refs)
+        gup, gmid, gdn = next(it), next(it), next(it)
+        if has_epi:
+            yup, ymid, ydn = next(it), next(it), next(it)
+            s_ref, gzs_ref, gzq_ref = next(it), next(it), next(it)
+        xup, xmid, xdn = next(it), next(it), next(it)
+        if has_pro:
+            k_ref, b_ref = next(it), next(it)
+        w_ref = next(it)
+        gx_ref = next(it)
+        if has_pro:
+            gk_ref, gb_ref = next(it), next(it)
+        dw_ref = next(it)
+
+        bi = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+
+        @pl.when(jnp.logical_and(bi == 0, t == 0))
+        def _():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+            if has_pro:
+                gk_ref[...] = jnp.zeros_like(gk_ref)
+                gb_ref[...] = jnp.zeros_like(gb_ref)
+
+        # adjusted cotangent on the halo assembly (shared by both passes)
+        gb_blk = _assemble(gup, gmid, gdn, t, nt)
+        if has_epi:
+            yb = _assemble(yup, ymid, ydn, t, nt).astype(jnp.float32)
+            adj = (gzs_ref[0][None, None, :]
+                   + 2.0 * (yb - s_ref[0][None, None, :])
+                   * gzq_ref[0][None, None, :])
+            gt_ = gb_blk.astype(jnp.float32) + adj
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
+            rlo = jnp.where(t == 0, 2, 0)
+            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+            gt_ = jnp.where((rows >= rlo) & (rows <= rhi), gt_, 0.0)
+            gb_blk = gt_.astype(gb_blk.dtype)
+        gf = gb_blk.reshape((th + 4) * w, cout)
+
+        # activated input on the halo assembly (wgrad operand; its mid
+        # rows also serve the affine backward)
+        xb = _assemble(xup, xmid, xdn, t, nt)
+        if has_pro:
+            act = jnp.maximum(
+                xb.astype(jnp.float32) * k_ref[0][None, None, :]
+                + b_ref[0][None, None, :], 0.0)
+            ab = act.astype(xb.dtype)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
+            rlo = jnp.where(t == 0, 2, 0)
+            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+            ab = jnp.where((rows >= rlo) & (rows <= rhi), ab,
+                           jnp.zeros((), ab.dtype))
+        else:
+            ab = xb
+        af = ab.reshape((th + 4) * w, cin)
+
+        not_first, not_last = _width_masks(l, w)
+        da = _tap_mm(gf, w_ref, l, w, cout, cin, not_first, not_last)
+
+        g_mid = gf[2 * w:2 * w + l]
+        zero = jnp.zeros((), af.dtype)
+        for k in range(9):
+            dy, dx = k // 3, k % 3
+            s_off = (dy + 1) * w + dx - 1
+            a = af[s_off:s_off + l]
+            if dx == 0:
+                a = jnp.where(not_first, a, zero)
+            elif dx == 2:
+                a = jnp.where(not_last, a, zero)
+            dw_ref[k * cin:(k + 1) * cin] += jax.lax.dot_general(
+                a, g_mid, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        if has_pro:
+            x = xb.reshape((th + 4) * w, cin)[2 * w:2 * w + l].astype(
+                jnp.float32)
+            k = k_ref[0][None, :]
+            pre = x * k + b_ref[0][None, :]
+            gm = jnp.where(pre > 0.0, da, 0.0)
+            gk_ref[0] += jnp.sum(gm * x, axis=0)
+            gb_ref[0] += jnp.sum(gm, axis=0)
+            gx_ref[0, 0] = (gm * k).astype(gx_ref.dtype)
+        else:
+            gx_ref[0, 0] = da.astype(gx_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("has_pro", "has_epi", "interpret", "row_tile"))
+def _conv_cbwd_pallas(gy, y, x, kin, bin_, wkr, s, gzs, gzq,
+                      has_pro, has_epi, interpret, row_tile):
+    """One-kernel backward: returns (gx, gk, gb, dW)."""
+    b, h, w, cout = gy.shape
+    cin = x.shape[-1]
+    th = row_tile
+    nt = h // th
+    up_map, dn_map = _halo_maps(th, h // 2)
+    vm = pltpu.VMEM
+    chan = lambda c: pl.BlockSpec((1, c), lambda bi, t: (0, 0),
+                                  memory_space=vm)
+    halo = lambda c, m: pl.BlockSpec((1, 1, 2, w, c), m, memory_space=vm)
+    mid = lambda c: pl.BlockSpec((1, th, w, c), lambda bi, t: (bi, t, 0, 0),
+                                 memory_space=vm)
+    g5 = gy.reshape(b, h // 2, 2, w, cout)
+    x5 = x.reshape(b, h // 2, 2, w, cin)
+
+    in_specs = [halo(cout, up_map), mid(cout), halo(cout, dn_map)]
+    args = [g5, gy, g5]
+    if has_epi:
+        y5 = y.reshape(b, h // 2, 2, w, cout)
+        in_specs += [halo(cout, up_map), mid(cout), halo(cout, dn_map),
+                     chan(cout), chan(cout), chan(cout)]
+        args += [y5, y, y5,
+                 s.reshape(1, cout).astype(jnp.float32),
+                 gzs.reshape(1, cout).astype(jnp.float32),
+                 gzq.reshape(1, cout).astype(jnp.float32)]
+    in_specs += [halo(cin, up_map), mid(cin), halo(cin, dn_map)]
+    args += [x5, x, x5]
+    if has_pro:
+        in_specs += [chan(cin), chan(cin)]
+        args += [kin.reshape(1, cin).astype(jnp.float32),
+                 bin_.reshape(1, cin).astype(jnp.float32)]
+    in_specs.append(pl.BlockSpec((9 * cout, cin), lambda bi, t: (0, 0),
+                                 memory_space=vm))
+    args.append(wkr)
+
+    out_specs = [pl.BlockSpec((1, 1, th * w, cin),
+                              lambda bi, t: (bi, t, 0, 0),
+                              memory_space=vm)]
+    out_shape = [jax.ShapeDtypeStruct((b, nt, th * w, cin), gy.dtype)]
+    if has_pro:
+        out_specs += [chan(cin), chan(cin)]
+        out_shape += [jax.ShapeDtypeStruct((1, cin), jnp.float32)] * 2
+    out_specs.append(pl.BlockSpec((9 * cin, cout), lambda bi, t: (0, 0),
+                                  memory_space=vm))
+    out_shape.append(jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32))
+
+    res = pl.pallas_call(
+        _cbwd_kernel_factory(th, w, cin, cout, has_pro, has_epi),
+        grid=(b, nt),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    gx = res[0].reshape(b, h, w, cin)
+    if has_pro:
+        return gx, res[1][0], res[2][0], res[3]
+    return gx, None, None, res[-1]
+
+
+# ---------------------------------------------------------------------------
 # Differentiable entry points
 # ---------------------------------------------------------------------------
 
@@ -541,12 +728,20 @@ def _cbf_bwd(has_pro, has_epi, interpret, res, cots):
     gy, gzs, gzq = cots
     cin, cout = wk.shape[0] // 9, wk.shape[1]
     gy = gy.astype(y.dtype)
-    gx, gk, gb = _conv_dgrad_pallas(
-        gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,
-        has_pro, has_epi, interpret)
-    dw = _conv_wgrad_pallas(
-        x, kin, bin_, gy, y, s, gzs, gzq, has_pro, has_epi, interpret
-    ).astype(wk.dtype)
+    b, h, w = gy.shape[:3]
+    th = _combined_row_tile(h, w, cin, cout)
+    if th is not None:
+        gx, gk, gb, dw = _conv_cbwd_pallas(
+            gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,
+            has_pro, has_epi, interpret, th)
+        dw = dw.astype(wk.dtype)
+    else:
+        gx, gk, gb = _conv_dgrad_pallas(
+            gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,
+            has_pro, has_epi, interpret)
+        dw = _conv_wgrad_pallas(
+            x, kin, bin_, gy, y, s, gzs, gzq, has_pro, has_epi, interpret
+        ).astype(wk.dtype)
     if not has_pro:
         gk = jnp.zeros_like(kin)
         gb = jnp.zeros_like(bin_)

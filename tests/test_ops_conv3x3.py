@@ -114,6 +114,37 @@ def test_fused_conv_bn_matches_unfused_exactly(has_pro, has_epi):
         err_msg="gw")
 
 
+@pytest.mark.parametrize("has_pro", [False, True])
+@pytest.mark.parametrize("has_epi", [False, True])
+def test_combined_backward_equals_split(has_pro, has_epi):
+    """The one-kernel backward (dgrad+wgrad+affine-bwd fused; reads
+    x/gy/y once) returns bit-identical results to the split kernels."""
+    from fpsg_tpu.ops.conv3x3 import (
+        _conv_cbwd_pallas, _conv_dgrad_pallas, _conv_wgrad_pallas,
+        _rot180_swap)
+
+    h, w, cin, cout = 12, 10, 16, 24
+    rng = np.random.RandomState(3)
+    f = lambda *s: jnp.asarray(rng.randint(-2, 3, s).astype(np.float32))
+    x, gy, y = f(2, h, w, cin), f(2, h, w, cout), f(2, h, w, cout)
+    kin, bin_ = f(cin), f(cin)
+    s, gzs, gzq = f(cout), f(cout), f(cout)
+    wk = f(9 * cin, cout)
+    wkr = _rot180_swap(wk, cin, cout)
+
+    gx_c, gk_c, gb_c, dw_c = _conv_cbwd_pallas(
+        gy, y, x, kin, bin_, wkr, s, gzs, gzq, has_pro, has_epi, True, 4)
+    gx_s, gk_s, gb_s = _conv_dgrad_pallas(
+        gy, y, x, kin, bin_, wkr, s, gzs, gzq, has_pro, has_epi, True)
+    dw_s = _conv_wgrad_pallas(
+        x, kin, bin_, gy, y, s, gzs, gzq, has_pro, has_epi, True)
+    np.testing.assert_array_equal(np.asarray(gx_c), np.asarray(gx_s))
+    np.testing.assert_array_equal(np.asarray(dw_c), np.asarray(dw_s))
+    if has_pro:
+        np.testing.assert_array_equal(np.asarray(gk_c), np.asarray(gk_s))
+        np.testing.assert_array_equal(np.asarray(gb_c), np.asarray(gb_s))
+
+
 def test_same_padding_is_real_zeros():
     # an all-ones input exposes any halo/width-mask slip: border sums
     # differ from interior sums by exactly the padded tap count.

@@ -81,6 +81,14 @@ def test_conv3x3_kernels_lower(b, h, w, cin, cout):
             _lowers(functools.partial(
                 cv._conv_wgrad_pallas, has_pro=has_pro, has_epi=has_epi,
                 interpret=False), x, ci, ci, gy, y, co, co, co)
+    # combined backward (one kernel) at the block-1..3 shapes its VMEM
+    # gate admits
+    th = cv._combined_row_tile(h, w, cin, cout)
+    if th is not None:
+        _lowers(functools.partial(
+            cv._conv_cbwd_pallas, has_pro=True, has_epi=True,
+            interpret=False, row_tile=th), gy, y, x, ci, ci, wkr,
+            co, co, co)
     # the train step vmaps episodes (even at E=1): the fused fwd must
     # also lower under the pallas batching rule
     xe = jnp.zeros((2,) + x.shape, jnp.bfloat16)
