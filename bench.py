@@ -181,6 +181,7 @@ def main():
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),
         "unit": "episodes/s",
+        "fused_conv": args.fused_conv,
         # estimated reference-on-CUDA throughput (module docstring);
         # understates the speedup (reference dispatch/H2D overheads not
         # modeled)

@@ -8,9 +8,10 @@ passes fold into the conv itself (the fused_stack.py treatment, for
 convs):
 
   - PROLOGUE: the previous BN's affine(+relu) is applied in-register on
-    the input block as it is loaded (``a = relu(k*x + b)`` at the same
-    cast points as the unfused ``normalization._affine_relu`` →
-    conv-input chain), so the normalized tensor is never materialized;
+    the input block as it is loaded (``a = relu(k*x + b)`` in f32 with
+    ONE cast to the compute dtype — in bf16 this is LSB-more precise
+    than the unfused tensor path, which casts x/k/b to bf16 before the
+    FMA), so the normalized tensor is never materialized;
   - EPILOGUE: the single-read shifted BN statistics of the raw output
     (``zsum/zsq of z = y - s``) accumulate before writeback, so the BN
     statistics pass never re-reads the conv output.
@@ -71,19 +72,20 @@ from fpsg_tpu.ops._pallas_utils import interpret_default
 
 
 def _row_tile(h: int, w: int, cin: int, cout: int,
-              budget: int = 12 * 1024 * 1024) -> int:
+              budget: int = 12 * 1024 * 1024, esize: int = 2) -> int:
     """Largest row tile dividing ``h`` (even, for the 2-row halo refs)
     that keeps the kernel's VMEM working set inside the ~16 MB
     per-kernel scope (DESIGN.md §11.4): double-buffered x/out blocks,
     the static-unroll liveness of the 9 tap operands, the f32
-    accumulator, and the weights."""
-    wk = 9 * cin * cout * 2
+    accumulator, and the weights. ``esize`` is the compute dtype's
+    bytes/element (2 for the bf16 production path)."""
+    wk = 9 * cin * cout * esize
     for cand in (32, 28, 16, 14, 8, 4, 2):
         if h % cand:
             continue
-        xblk = 2 * (cand + 4) * w * cin * 2
-        oblk = 2 * cand * w * cout * 2
-        taps = 9 * cand * w * cin * 2
+        xblk = 2 * (cand + 4) * w * cin * esize
+        oblk = 2 * cand * w * cout * esize
+        taps = 9 * cand * w * cin * esize
         acc = cand * w * cout * 4
         if wk + xblk + oblk + taps + acc < budget:
             return cand
@@ -91,6 +93,10 @@ def _row_tile(h: int, w: int, cin: int, cout: int,
 
 
 def _halo_maps(th: int, h2: int):
+    assert th % 2 == 0, (
+        "row tiles must be even: the halo refs index in 2-row units "
+        f"(got {th}) — an odd tile silently fetches wrong halo rows")
+
     def up_map(bi, t):
         # rows [t*th-2, t*th) in 2-row units, clamped; masked at t==0.
         return (bi, jnp.maximum(t * (th // 2) - 1, 0), 0, 0, 0)
@@ -100,6 +106,18 @@ def _halo_maps(th: int, h2: int):
         return (bi, jnp.minimum((t + 1) * (th // 2), h2 - 1), 0, 0, 0)
 
     return up_map, dn_map
+
+
+def _mask_halo_rows(xb, t, nt, th: int):
+    """Re-zero the out-of-image halo rows of a (th+4, w, c) assembly
+    whose values were regenerated after _assemble (prologue affine,
+    statistics adjustment): rows 0..1 at the top tile, th+2..th+3 at
+    the bottom tile."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
+    rlo = jnp.where(t == 0, 2, 0)
+    rhi = jnp.where(t == nt - 1, th + 1, th + 3)
+    keep = (rows >= rlo) & (rows <= rhi)
+    return jnp.where(keep, xb, jnp.zeros((), xb.dtype))
 
 
 def _assemble(up_ref, mid_ref, dn_ref, t, nt):
@@ -138,6 +156,25 @@ def _tap_mm(xf, w_ref, l: int, w: int, cin: int, cout: int,
     return acc
 
 
+def _tap_wgrad(af, g, dw_ref, l: int, w: int, cin: int,
+               not_first, not_last):
+    """The 9 per-tap wgrad cross-correlations, accumulated into the
+    grid-persistent (9*Cin, Cout) f32 ref."""
+    zero = jnp.zeros((), af.dtype)
+    for k in range(9):
+        dy, dx = k // 3, k % 3
+        s_off = (dy + 1) * w + dx - 1
+        a = af[s_off:s_off + l]
+        if dx == 0:
+            a = jnp.where(not_first, a, zero)
+        elif dx == 2:
+            a = jnp.where(not_last, a, zero)
+        dw_ref[k * cin:(k + 1) * cin] += jax.lax.dot_general(
+            a, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
 # ---------------------------------------------------------------------------
 # Forward: [prologue affine+relu] -> conv -> [epilogue statistics]
 # ---------------------------------------------------------------------------
@@ -165,20 +202,16 @@ def _fwd_kernel_factory(th: int, w: int, cin: int, cout: int,
 
         xb = _assemble(up_ref, mid_ref, dn_ref, t, nt)
         if has_pro:
-            # same cast points as the unfused chain: f32 affine+relu,
-            # then the conv-input cast back to the compute dtype.
+            # f32 affine+relu, one cast to the compute dtype. (The
+            # unfused bf16 tensor path double-rounds — it casts x/k/b
+            # to bf16 BEFORE the FMA — so in bf16 this is LSB-more
+            # precise, not bitwise-equal; the f32 equivalence tests
+            # coincide exactly.)
             act = jnp.maximum(
                 xb.astype(jnp.float32) * k_ref[0][None, None, :]
                 + b_ref[0][None, None, :], 0.0)
-            xb = act.astype(xb.dtype)
-            # re-zero the halo rows (relu(b) != 0): rows 0..1 at t==0,
-            # th+2..th+3 at t==nt-1.
-            rows = jax.lax.broadcasted_iota(
-                jnp.int32, (th + 4, 1, 1), 0)
-            rlo = jnp.where(t == 0, 2, 0)
-            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
-            xb = jnp.where((rows >= rlo) & (rows <= rhi), xb,
-                           jnp.zeros((), xb.dtype))
+            # re-zero the halo rows (relu(b) != 0)
+            xb = _mask_halo_rows(act.astype(xb.dtype), t, nt, th)
         xf = xb.reshape((th + 4) * w, cin)
         not_first, not_last = _width_masks(l, w)
         acc = _tap_mm(xf, w_ref, l, w, cin, cout, not_first, not_last)
@@ -207,7 +240,7 @@ def _conv_fwd_pallas(x, kin, bin_, wk, s, has_pro, has_epi, interpret,
     [+ zsum, zsq (Cout,) f32 when has_epi]."""
     b, h, w, cin = x.shape
     cout = wk.shape[1]
-    th = row_tile or _row_tile(h, w, cin, cout)
+    th = row_tile or _row_tile(h, w, cin, cout, esize=x.dtype.itemsize)
     nt = h // th
     up_map, dn_map = _halo_maps(th, h // 2)
     vm = pltpu.VMEM
@@ -288,11 +321,7 @@ def _dgrad_kernel_factory(th: int, w: int, cin: int, cout: int,
                    * gzq_ref[0][None, None, :])
             gt = gb_blk.astype(jnp.float32) + adj
             # the adjustment must not resurrect out-of-image halo rows
-            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
-            rlo = jnp.where(t == 0, 2, 0)
-            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
-            gt = jnp.where((rows >= rlo) & (rows <= rhi), gt, 0.0)
-            gb_blk = gt.astype(gb_blk.dtype)
+            gb_blk = _mask_halo_rows(gt, t, nt, th).astype(gb_blk.dtype)
         gf = gb_blk.reshape((th + 4) * w, cout)
         not_first, not_last = _width_masks(l, w)
         da = _tap_mm(gf, w_ref, l, w, cout, cin, not_first, not_last)
@@ -325,7 +354,8 @@ def _conv_dgrad_pallas(gy, y, x, kin, bin_, wkr, s, gzs, gzq,
     (gx, gk, gb) — gk/gb None unless has_pro."""
     b, h, w, cout = gy.shape
     cin = wkr.shape[1]
-    th = row_tile or _row_tile(h, w, cout, cin, budget=9 * 1024 * 1024)
+    th = row_tile or _row_tile(h, w, cout, cin, budget=9 * 1024 * 1024,
+                               esize=gy.dtype.itemsize)
     nt = h // th
     up_map, dn_map = _halo_maps(th, h // 2)
     vm = pltpu.VMEM
@@ -412,12 +442,7 @@ def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int,
             act = jnp.maximum(
                 xb.astype(jnp.float32) * k_ref[0][None, None, :]
                 + b_ref[0][None, None, :], 0.0)
-            xb = act.astype(xb.dtype)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
-            rlo = jnp.where(t == 0, 2, 0)
-            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
-            xb = jnp.where((rows >= rlo) & (rows <= rhi), xb,
-                           jnp.zeros((), xb.dtype))
+            xb = _mask_halo_rows(act.astype(xb.dtype), t, nt, th)
         xf = xb.reshape((th + 4) * w, cin)
         g = g_ref[0, 0]                                  # (l, cout)
         if has_epi:
@@ -426,19 +451,7 @@ def _wgrad_kernel_factory(th: int, w: int, cin: int, cout: int,
                  + 2.0 * z * gzq_ref[0][None, :]).astype(g.dtype)
 
         not_first, not_last = _width_masks(l, w)
-        zero = jnp.zeros((), xf.dtype)
-        for k in range(9):
-            dy, dx = k // 3, k % 3
-            s_off = (dy + 1) * w + dx - 1
-            a = xf[s_off:s_off + l]
-            if dx == 0:
-                a = jnp.where(not_first, a, zero)
-            elif dx == 2:
-                a = jnp.where(not_last, a, zero)
-            dw_ref[k * cin:(k + 1) * cin] += jax.lax.dot_general(
-                a, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        _tap_wgrad(xf, g, dw_ref, l, w, cin, not_first, not_last)
 
     return kernel
 
@@ -454,7 +467,8 @@ def _conv_wgrad_pallas(x, kin, bin_, gy, y, s, gzs, gzq,
     sequential grid)."""
     b, h, w, cin = x.shape
     cout = gy.shape[-1]
-    th = row_tile or _row_tile(h, w, cin, cout, budget=9 * 1024 * 1024)
+    th = row_tile or _row_tile(h, w, cin, cout, budget=9 * 1024 * 1024,
+                               esize=x.dtype.itemsize)
     nt = h // th
     up_map, dn_map = _halo_maps(th, h // 2)
     vm = pltpu.VMEM
@@ -502,23 +516,24 @@ def _conv_wgrad_pallas(x, kin, bin_, gy, y, s, gzs, gzq,
 # ---------------------------------------------------------------------------
 
 
-def _combined_row_tile(h: int, w: int, cin: int, cout: int):
+def _combined_row_tile(h: int, w: int, cin: int, cout: int,
+                       esize: int = 2):
     """Row tile for the combined backward, or None when its VMEM
     working set (BOTH weight/dW planes + three halo assemblies + two
     tap-unroll livenesses) cannot fit the ~16 MB scope — the 512-ch
     blocks stay on the split kernels."""
-    fixed = 9 * cout * cin * 2 + 9 * cin * cout * 4   # wkr + dW
+    fixed = 9 * cout * cin * esize + 9 * cin * cout * 4   # wkr + dW
     budget = 13 * 1024 * 1024
     for cand in (32, 28, 16, 14, 8, 4, 2):
         if h % cand:
             continue
         l = cand * w
-        asm = 2 * (cand + 4) * w * (cin + 2 * cout) * 2   # x + gy + y in
-        gt = (cand + 4) * w * cout * (4 + 2)              # f32 + cast
-        a = (cand + 4) * w * cin * 2
-        taps = 9 * l * (cout + cin) * 2
+        asm = 2 * (cand + 4) * w * (cin + 2 * cout) * esize  # x + gy + y
+        gt = (cand + 4) * w * cout * (4 + esize)             # f32 + cast
+        a = (cand + 4) * w * cin * esize
+        taps = 9 * l * (cout + cin) * esize
         acc = l * cin * 4
-        gx = 2 * l * cin * 2
+        gx = 2 * l * cin * esize
         if fixed + asm + gt + a + taps + acc + gx < budget:
             return cand
     return None
@@ -562,11 +577,7 @@ def _cbwd_kernel_factory(th: int, w: int, cin: int, cout: int,
                    + 2.0 * (yb - s_ref[0][None, None, :])
                    * gzq_ref[0][None, None, :])
             gt_ = gb_blk.astype(jnp.float32) + adj
-            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
-            rlo = jnp.where(t == 0, 2, 0)
-            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
-            gt_ = jnp.where((rows >= rlo) & (rows <= rhi), gt_, 0.0)
-            gb_blk = gt_.astype(gb_blk.dtype)
+            gb_blk = _mask_halo_rows(gt_, t, nt, th).astype(gb_blk.dtype)
         gf = gb_blk.reshape((th + 4) * w, cout)
 
         # activated input on the halo assembly (wgrad operand; its mid
@@ -576,12 +587,7 @@ def _cbwd_kernel_factory(th: int, w: int, cin: int, cout: int,
             act = jnp.maximum(
                 xb.astype(jnp.float32) * k_ref[0][None, None, :]
                 + b_ref[0][None, None, :], 0.0)
-            ab = act.astype(xb.dtype)
-            rows = jax.lax.broadcasted_iota(jnp.int32, (th + 4, 1, 1), 0)
-            rlo = jnp.where(t == 0, 2, 0)
-            rhi = jnp.where(t == nt - 1, th + 1, th + 3)
-            ab = jnp.where((rows >= rlo) & (rows <= rhi), ab,
-                           jnp.zeros((), ab.dtype))
+            ab = _mask_halo_rows(act.astype(xb.dtype), t, nt, th)
         else:
             ab = xb
         af = ab.reshape((th + 4) * w, cin)
@@ -590,19 +596,7 @@ def _cbwd_kernel_factory(th: int, w: int, cin: int, cout: int,
         da = _tap_mm(gf, w_ref, l, w, cout, cin, not_first, not_last)
 
         g_mid = gf[2 * w:2 * w + l]
-        zero = jnp.zeros((), af.dtype)
-        for k in range(9):
-            dy, dx = k // 3, k % 3
-            s_off = (dy + 1) * w + dx - 1
-            a = af[s_off:s_off + l]
-            if dx == 0:
-                a = jnp.where(not_first, a, zero)
-            elif dx == 2:
-                a = jnp.where(not_last, a, zero)
-            dw_ref[k * cin:(k + 1) * cin] += jax.lax.dot_general(
-                a, g_mid, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        _tap_wgrad(af, g_mid, dw_ref, l, w, cin, not_first, not_last)
 
         if has_pro:
             x = xb.reshape((th + 4) * w, cin)[2 * w:2 * w + l].astype(
@@ -729,7 +723,7 @@ def _cbf_bwd(has_pro, has_epi, interpret, res, cots):
     cin, cout = wk.shape[0] // 9, wk.shape[1]
     gy = gy.astype(y.dtype)
     b, h, w = gy.shape[:3]
-    th = _combined_row_tile(h, w, cin, cout)
+    th = _combined_row_tile(h, w, cin, cout, esize=gy.dtype.itemsize)
     if th is not None:
         gx, gk, gb, dw = _conv_cbwd_pallas(
             gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,
