@@ -4,7 +4,7 @@
 set -x
 cd /root/repo
 echo "=== conv probe (Pallas conv vs XLA at VGG shapes) ==="
-timeout 2400 python benchmarks/conv_probe.py 2>&1 | tail -12
+timeout 3000 python benchmarks/conv_probe.py --bwd 2>&1 | tail -20
 echo "=== bench.py (fused conv ON, default) ==="
 timeout 3600 python bench.py 2>&1 | tail -5
 echo "=== bench.py (fused conv OFF, A/B) ==="

@@ -50,6 +50,7 @@ def main():
         _row_tile, conv3x3_oracle, conv3x3_same)
 
     sweep = "--sweep" in sys.argv
+    bwd = "--bwd" in sys.argv
     key = jax.random.PRNGKey(0)
     print("| shape (B,H,W,Ci,Co) | tf | XLA ms | XLA TF/s |"
           " Pallas ms | Pallas TF/s | th |")
@@ -84,6 +85,46 @@ def main():
         print(f"| {(b,h,w,ci,co)} | {tf*1e3:.1f}G | {t_x:.2f} "
               f"| {tf/t_x*1e3:.0f} | {t_p:.2f} | {tf/t_p*1e3:.0f} "
               f"| {th} (err {err:.1e}) |")
+
+        if not bwd:
+            continue
+        # --- backward kernels at the same shape (3x the fwd FLOPs
+        # total: dgrad + wgrad each equal the fwd count) ---------------
+        from fpsg_tpu.ops.conv3x3 import (
+            _combined_row_tile, _conv_cbwd_pallas, _conv_dgrad_pallas,
+            _conv_wgrad_pallas, _rot180_swap)
+
+        wk = wt.reshape(9 * ci, co)
+        wkr = _rot180_swap(wk, ci, co)
+        gy = (jax.random.normal(jax.random.fold_in(key, 2),
+                                (b, h, w, co)) / 8).astype(jnp.bfloat16)
+        y = f_x(x, wt)
+        kin = jnp.ones((ci,), jnp.float32)
+        bz = jnp.zeros((ci,), jnp.float32)
+        sz = jnp.zeros((co,), jnp.float32)
+
+        def xla_bwd(x, wt, gy):
+            _, vjp = jax.vjp(lambda a, k: conv3x3_oracle(a, k), x, wt)
+            return vjp(gy)
+
+        t_xb = timeit(jax.jit(xla_bwd), x, wt, gy)
+        f_dg = jax.jit(lambda gy, y, x: _conv_dgrad_pallas(
+            gy, y, x, kin, bz, wkr, sz, sz, sz, True, True, False))
+        f_wg = jax.jit(lambda x, gy, y: _conv_wgrad_pallas(
+            x, kin, bz, gy, y, sz, sz, sz, True, True, False))
+        t_dg = timeit(f_dg, gy, y, x)
+        t_wg = timeit(f_wg, x, gy, y)
+        line = (f"|   bwd | {2*tf*1e3:.1f}G | {t_xb:.2f} "
+                f"| {2*tf/t_xb*1e3:.0f} | dg {t_dg:.2f} + wg {t_wg:.2f} "
+                f"| {tf/t_dg*1e3:.0f}/{tf/t_wg*1e3:.0f} |")
+        cth = _combined_row_tile(h, w, ci, co)
+        if cth is not None:
+            f_cb = jax.jit(lambda gy, y, x: _conv_cbwd_pallas(
+                gy, y, x, kin, bz, wkr, sz, sz, sz, True, True, False,
+                cth))
+            t_cb = timeit(f_cb, gy, y, x)
+            line += f" comb {t_cb:.2f} ({2*tf/t_cb*1e3:.0f} TF/s, th={cth}) |"
+        print(line)
 
 
 if __name__ == "__main__":
