@@ -107,3 +107,47 @@ def test_vgg_fused_conv_bf16_no_worse_than_tensor_path(monkeypatch):
     assert drift_fused <= 1.5 * drift_tensor, (drift_fused, drift_tensor)
     for gk in jax.tree.leaves(g_k):
         assert np.isfinite(np.asarray(gk, np.float32)).all()
+
+
+@pytest.mark.slow
+def test_full_train_step_executes_with_fused_chain(monkeypatch):
+    """The real train step (episode sampling + vmap + grad + optimizer,
+    donation off for comparison) EXECUTES with the fused conv+pool
+    kernels forced (interpret) and matches the tensor-path step's loss
+    at the VGG-depth noise scale. Covers the integration the lowering
+    test only compiles: custom-VJP kernels inside vmap-of-grad inside
+    the jitted step."""
+    from fpsg_tpu.data import DeviceCorpus, synthetic_corpus
+    from fpsg_tpu.models import ImgPCProtoNet
+    from fpsg_tpu.train import (
+        TrainState, init_model, make_optimizer, make_train_step)
+
+    def build_and_step():
+        model = ImgPCProtoNet(img_backbone="vgg_16", pc_backbone="pointnet",
+                              intra_support=True, num_clusters=2,
+                              num_nodes=2, num_points=64)
+        corpus = DeviceCorpus.build(synthetic_corpus(
+            n_classes=2, items_per_class=6, n_pts=64, img_size=32))
+        sample = {
+            "xs": jnp.zeros((3, 32, 32, 3)), "xq": jnp.zeros((1, 32, 32, 3)),
+            "xad": jnp.zeros((3, 32, 32, 3)), "pcs": jnp.zeros((3, 64, 3)),
+            "pcq": jnp.zeros((1, 64, 3)), "pcad": jnp.zeros((3, 64, 3)),
+        }
+        variables = init_model(model, sample)
+        tx = make_optimizer(lr=1e-3, steps_per_epoch=4)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+        step = make_train_step(model, tx, n_support=3, n_query=1,
+                               n_episodes=1, donate=False)
+        _, metrics = step(state, corpus, jax.random.PRNGKey(7))
+        return float(jnp.mean(metrics["query_rec_loss"]))
+
+    l_plain = build_and_step()
+    monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
+    monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
+    l_fused = build_and_step()
+    assert np.isfinite(l_fused)
+    np.testing.assert_allclose(l_fused, l_plain, rtol=2e-3)
