@@ -72,7 +72,8 @@ def _enable_compile_cache():
 def measure_ours(n_episodes: int, steps: int, warmup: int,
                  compute_dtype: str = "bf16",
                  steps_per_call: int = 8,
-                 fused_conv: bool = True) -> float:
+                 fused_conv: bool = True,
+                 bf16_moments: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -105,7 +106,8 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         "pcad": jnp.zeros((n_support, n_pts, 3)),
     }
     variables = init_model(model, sample)
-    tx = make_optimizer(lr=1e-3, steps_per_epoch=100)
+    tx = make_optimizer(lr=1e-3, steps_per_epoch=100,
+                        bf16_moments=bf16_moments)
     state = TrainState(
         params=variables["params"],
         batch_stats=variables["batch_stats"],
@@ -150,6 +152,9 @@ def main():
                     action="store_false",
                     help="run the VGG branch without the fused Pallas "
                          "conv+BN chain (A/B comparison)")
+    ap.add_argument("--bf16-moments", action="store_true",
+                    help="Adam moments stored bf16 (A/B: half the "
+                         "optimizer HBM state/traffic, bounded drift)")
     ap.add_argument("--compute-dtype", type=str, default="bf16",
                     choices=["f32", "bf16"],
                     help="mixed-precision compute dtype (params/BN stats/"
@@ -176,7 +181,7 @@ def main():
     eps = measure_ours(
         args.episodes_per_step, args.steps, args.warmup,
         args.compute_dtype, steps_per_call=args.steps_per_call,
-        fused_conv=args.fused_conv)
+        fused_conv=args.fused_conv, bf16_moments=args.bf16_moments)
     out = {
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),

@@ -93,6 +93,10 @@ class FPSGConfig:
     precise_stats: bool = False  # two-pass BN variance everywhere — the
                                  # exact torch-trajectory parity mode
                                  # (PARITY.md round-2 notes); ~5% slower
+    bf16_moments: bool = False   # Adam moments stored bf16 (half the
+                                 # optimizer HBM state, ~1.4x less update
+                                 # traffic; bounded trajectory drift —
+                                 # train/optim.py scale_by_adam_compact)
     host_corpus: bool = False    # corpus stays in host RAM; episodes are
                                  # assembled on a prefetch thread (for
                                  # datasets larger than HBM)
@@ -176,6 +180,7 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--compute_dtype", type=str, default=d.compute_dtype,
       choices=["f32", "bf16"])
     p("--precise_stats", action="store_true")
+    p("--bf16_moments", action="store_true")
     p("--no_fused_conv", dest="fused_conv", action="store_false")
     p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)

@@ -170,6 +170,7 @@ def make_state(model, conf: FPSGConfig, tx=None, img_size=224):
                 conf.n_episode // conf.episodes_per_step, 1
             ),
             frozen_mask=frozen_mask,
+            bf16_moments=conf.bf16_moments,
         )
     state = TrainState(
         params=variables["params"],
