@@ -19,6 +19,7 @@ from fpsg_tpu.parallel.mesh import (
     shard_episode_batch,
     replicate,
     param_sharding_rules,
+    fsdp_state_sharding,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "shard_episode_batch",
     "replicate",
     "param_sharding_rules",
+    "fsdp_state_sharding",
 ]

@@ -66,7 +66,49 @@ def param_sharding_rules(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def shard_train_state(state, mesh: Mesh, model_parallel: bool = False):
+def fsdp_state_sharding(state, mesh: Mesh, min_size: int = 65536):
+    """FSDP/ZeRO-style sharding tree for a whole TrainState.
+
+    Every large leaf (params AND Adam moments — the moments dominate
+    optimizer HBM at 2x params) is sharded along ``dp`` on its first
+    dimension divisible by the dp size; small leaves (biases, BN stats,
+    counters) stay replicated — sharding them buys nothing and costs a
+    collective each. Under ``jax.jit`` with these as in/out shardings,
+    GSPMD inserts the FSDP communication pattern automatically: params
+    all-gather where the episode compute needs them whole, their
+    cotangents reduce-scatter back to the shard, and the Adam update
+    runs shard-local. Per-device state memory drops ~dp-fold for the
+    sharded leaves (the 80 M-param flagship carries 960 MB of
+    params+moments f32 — 120 MB/device on an 8-way mesh).
+
+    Composes with the decoder ``mp`` rules: cluster-stacked decoder
+    weights keep their 'mp' axis (sharding the same tensor on both axes
+    is possible but the cluster axis already cuts them mp-fold).
+    """
+    dp = mesh.shape["dp"]
+    rep = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        keys = "/".join(
+            getattr(p, "key", getattr(p, "name", str(p))) for p in path
+        )
+        if _is_cluster_stacked(keys, leaf) and getattr(leaf, "ndim", 0) >= 2:
+            if mesh.shape.get("mp", 1) > 1:
+                spec = ("mp",) + (None,) * (leaf.ndim - 1)
+                return NamedSharding(mesh, P(*spec))
+        if getattr(leaf, "size", 0) >= min_size:
+            for i, d in enumerate(leaf.shape):
+                if d >= dp and d % dp == 0:
+                    spec = [None] * leaf.ndim
+                    spec[i] = "dp"
+                    return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, state)
+
+
+def shard_train_state(state, mesh: Mesh, model_parallel: bool = False,
+                      fsdp: bool = False):
     """Place a TrainState on the mesh.
 
     Params are mp-sharded per :func:`param_sharding_rules` when
@@ -74,7 +116,14 @@ def shard_train_state(state, mesh: Mesh, model_parallel: bool = False):
     the jitted step the optimizer update is elementwise in the params, so
     XLA propagates the param sharding onto the Adam moments after the first
     step (their out-shardings follow the params).
+
+    ``fsdp=True`` instead shards params and optimizer moments dp-wise per
+    :func:`fsdp_state_sharding` (pass the same tree to
+    ``make_train_step(state_shardings=...)`` so the step keeps them
+    sharded at exit).
     """
+    if fsdp:
+        return jax.device_put(state, fsdp_state_sharding(state, mesh))
     if not model_parallel:
         return replicate(state, mesh)
     rep = NamedSharding(mesh, P())

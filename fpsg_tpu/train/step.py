@@ -44,6 +44,7 @@ def make_train_step(
     donate: bool = True,
     mesh=None,
     steps_per_call: int = 1,
+    state_shardings=None,
 ):
     """Build the jitted train step: (state, corpus, key) → (state, metrics).
 
@@ -63,6 +64,12 @@ def make_train_step(
     host overhead (~3.5 ms through the axon tunnel, measured: wall-device
     gap in BASELINE.md) — the TPU-idiomatic replacement for the
     reference's per-episode Python loop (SURVEY.md §3.1).
+
+    ``state_shardings`` (a TrainState-shaped NamedSharding tree, e.g.
+    ``parallel.mesh.fsdp_state_sharding``) pins the state's entry AND
+    exit shardings — the FSDP/ZeRO mode: params/moments stay dp-sharded
+    across steps, GSPMD inserting the all-gather / reduce-scatter /
+    shard-local-Adam pattern. Requires ``mesh``.
     """
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -151,6 +158,13 @@ def make_train_step(
         # convert instead. Rank is per-leaf, so the Format pytree is
         # built lazily from the first state passed in.
         return _jit_with_default_state_layouts(fn, donate_argnums)
+    if state_shardings is not None:
+        return jax.jit(
+            fn,
+            donate_argnums=donate_argnums,
+            in_shardings=(state_shardings, None, None),
+            out_shardings=(state_shardings, None),
+        )
     return jax.jit(fn, donate_argnums=donate_argnums)
 
 
