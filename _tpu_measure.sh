@@ -9,6 +9,8 @@ echo "=== bench.py (fused conv ON, default) ==="
 timeout 3600 python bench.py 2>&1 | tail -5
 echo "=== bench.py (fused conv OFF, A/B) ==="
 timeout 3600 python bench.py --no-fused-conv 2>&1 | tail -5
+echo "=== bench.py (bf16 Adam moments, A/B) ==="
+timeout 3600 python bench.py --bf16-moments 2>&1 | tail -5
 echo "=== step_trace ==="
 timeout 2400 python benchmarks/step_trace.py 2>&1 | tail -5
 echo "=== trace_report by source ==="
