@@ -76,6 +76,23 @@ def test_fsdp_step_matches_unsharded():
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_fsdp_composes_with_steps_per_call():
+    """FSDP sharding pins survive the lax.scan multi-step dispatch (the
+    production steps_per_call mode)."""
+    mesh = make_mesh(dp=8, mp=1)
+    model, corpus, state, _, tx = build(n_episodes=8)
+    shardings = fsdp_state_sharding(state, mesh, min_size=1024)
+    sharded = jax.device_put(state, shardings)
+    step = make_train_step(model, tx, n_support=3, n_query=1,
+                           n_episodes=8, donate=False, mesh=mesh,
+                           state_shardings=shardings, steps_per_call=2)
+    st, m = step(sharded, corpus, jax.random.PRNGKey(0))
+    assert m["query_rec_loss"].shape == (2, 8)  # (K, E)
+    assert int(st.step) == 2
+    big = [l for l in jax.tree.leaves(st.params) if l.size >= 1024]
+    assert any(l.addressable_shards[0].data.shape != l.shape for l in big)
+
+
 def test_fsdp_state_stays_sharded_across_steps():
     mesh, model, corpus, state, sharded, shardings, step, tx = _fsdp_setup()
     st = sharded
