@@ -21,13 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(r):
+    # Drain the queue with a SCALAR device→host read: block_until_ready
+    # lies through the axon tunnel (CLAUDE.md), and device_get of the
+    # full tensor measures tunnel transfer bandwidth (~seconds for a
+    # 400 MB activation), not device time.
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    jax.device_get(leaf[(0,) * leaf.ndim])
+
+
 def timeit(fn, *args, n=20) -> float:
     r = fn(*args)
-    jax.device_get(r)          # real queue drain (block_until_ready lies
-    t0 = time.perf_counter()   # through the axon tunnel — CLAUDE.md)
+    _sync(r)
+    t0 = time.perf_counter()
     for _ in range(n):
         r = fn(*args)
-    jax.device_get(r)
+    _sync(r)
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -104,7 +113,14 @@ def main():
         sz = jnp.zeros((co,), jnp.float32)
 
         def xla_bwd(x, wt, gy):
-            _, vjp = jax.vjp(lambda a, k: conv3x3_oracle(a, k), x, wt)
+            # pure-bf16 conv (what the real step's VJP runs): the oracle's
+            # preferred_element_type=f32 + astype(bf16) would hand a f32
+            # cotangent to a bf16 conv transpose, which lax rejects.
+            def f(a, k):
+                return jax.lax.conv_general_dilated(
+                    a, k, window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            _, vjp = jax.vjp(f, x, wt)
             return vjp(gy)
 
         t_xb = timeit(jax.jit(xla_bwd), x, wt, gy)
