@@ -236,8 +236,18 @@ _phase_max.defvjp(_phase_max_fwd, _phase_max_bwd)
 _FORCE_POOL_KERNEL = False
 _FORCE_CONV_KERNEL = False  # tests: run the fused conv+BN chain in
                             # interpret mode off-TPU
-_FC_SKIP = frozenset()      # feature indices whose conv site runs the
-                            # tensor path (per-site dispatch/bisection)
+# Feature indices whose conv site runs the tensor path instead of the
+# fused Pallas conv chain. Default = every 256/512-channel site, from the
+# TPU conv probe (BASELINE.md round-3c measurement, benchmarks/conv_probe
+# --bwd): at (56,56,256,256) the combined backward collapses to 23 TF/s
+# (21.2 ms vs XLA's 4.5) and even split dgrad+wgrad (6.75 ms) loses to
+# the XLA VJP + separate BN passes; at the 512 blocks (28^2/14^2) the
+# split backward is 1.7-1.9x XLA's. The chain stays on where it wins:
+# the packed block-1 convs and the 128-ch 112^2 block (site idx 7, 10),
+# whose conv+BN fusion beats XLA-conv + separate BN passes on both
+# passes. Indices: conv3_x = 14/17/20, conv4_x = 24/27/30,
+# conv5_x = 34/37/40 (torchvision vgg16_bn features numbering).
+_FC_SKIP = frozenset({14, 17, 20, 24, 27, 30, 34, 37, 40})
 
 
 def _inject_conv_stats(bn_mod, s_c, zs, zq, n, fold, phases: int = 1):

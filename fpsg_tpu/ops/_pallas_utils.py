@@ -31,11 +31,20 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def pool_row_tile(h2: int) -> int:
+def pool_row_tile(h2: int, row_bytes: int = 0,
+                  budget: int = 2 * 1024 * 1024) -> int:
     """Row-tile size for the 2x2 pool kernels: largest candidate dividing
-    the pooled row count (VGG sizes are 2^a*7^b, hence the 28/14/7s)."""
+    the pooled row count (VGG sizes are 2^a*7^b, hence the 28/14/7s).
+
+    ``row_bytes`` (bytes of ONE full-width f32 row-pair buffer) bounds
+    the tile by a per-buffer VMEM budget: Mosaic gives each kernel a
+    ~16 MB scoped-VMEM stack, and a kernel holding ~5 full-block f32
+    temporaries overflows it once ``tile * row_bytes`` passes ~3 MB
+    (measured: the pool_moments backward at (33,224,112,128) bf16 hit
+    16.83 MB with tile 28 — 852 KB over). 2 MB/buffer keeps ~5
+    temporaries near 10 MB with headroom for Mosaic's own spills."""
     for cand in (32, 28, 16, 14, 8, 7, 4, 2):
-        if h2 % cand == 0:
+        if h2 % cand == 0 and (row_bytes == 0 or cand * row_bytes <= budget):
             return cand
     return 1
 

@@ -723,7 +723,12 @@ def _cbf_bwd(has_pro, has_epi, interpret, res, cots):
     cin, cout = wk.shape[0] // 9, wk.shape[1]
     gy = gy.astype(y.dtype)
     b, h, w = gy.shape[:3]
-    th = _combined_row_tile(h, w, cin, cout, esize=gy.dtype.itemsize)
+    # Combined kernel only where it measures faster than split dgrad +
+    # wgrad: the 128-ch VGG shapes (BASELINE.md round-3c conv probe —
+    # 9.2 vs 12.9 ms at (224,112,128,128), 5.3 vs 8.0 at (112,112,128²);
+    # at 256 ch it collapses to 23 TF/s, 3x slower than split).
+    th = (_combined_row_tile(h, w, cin, cout, esize=gy.dtype.itemsize)
+          if max(cin, cout) <= 128 else None)
     if th is not None:
         gx, gk, gb, dw = _conv_cbwd_pallas(
             gy, y, x, kin, bin_, _rot180_swap(wk, cin, cout), s, gzs, gzq,

@@ -135,7 +135,10 @@ def _fwd_pallas(y, s, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
     b, h, w2, c2 = y.shape
-    th = pool_row_tile(h // 2)
+    # The backward holds ~5 full-block f32 temporaries (z, gy, routed
+    # window cotangents, casts); budget the row tile so it fits Mosaic's
+    # ~16 MB scoped-VMEM stack (see pool_row_tile).
+    th = pool_row_tile(h // 2, row_bytes=2 * w2 * c2 * 4)
     stat = pl.BlockSpec((1, c2), lambda bi, t: (0, 0),
                         memory_space=pltpu.VMEM)
     qspec = pl.BlockSpec((1, th, w2, c2 // 2), lambda bi, t: (bi, t, 0, 0),
