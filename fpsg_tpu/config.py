@@ -100,6 +100,15 @@ class FPSGConfig:
     host_corpus: bool = False    # corpus stays in host RAM; episodes are
                                  # assembled on a prefetch thread (for
                                  # datasets larger than HBM)
+    dp: int = 1                  # data-parallel mesh size (episode axis);
+                                 # -1 = all visible devices / mp; requires
+                                 # episodes_per_step % dp == 0
+    mp: int = 1                  # model-parallel mesh size (decoder
+                                 # cluster-sharded weights; parallel/mesh.py)
+    fsdp: bool = False           # FSDP/ZeRO state sharding: params + Adam
+                                 # moments dp-sharded across steps
+                                 # (parallel/mesh.py:fsdp_state_sharding);
+                                 # requires dp > 1
     profile_dir: str = ""        # write a jax.profiler trace of one epoch
     export_torch: bool = False   # also save model_epoch_<e>.pt in the
                                  # reference's torch state-dict layout
@@ -186,6 +195,9 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")
     p("--host_corpus", action="store_true")
+    p("--dp", type=int, default=d.dp)
+    p("--mp", type=int, default=d.mp)
+    p("--fsdp", action="store_true")
     p("--profile_dir", type=str, default=d.profile_dir)
     p("--export_torch", action="store_true")
 

@@ -16,15 +16,29 @@ from typing import Any
 import jax
 
 
-def save_checkpoint(path: str, state: Any, use_orbax: bool = True) -> str:
-    """Save a pytree; returns the concrete path written."""
+def save_checkpoint(
+    path: str, state: Any, use_orbax: bool = True, gather: bool = True
+) -> str:
+    """Save a pytree; returns the concrete path written.
+
+    ``gather=False`` hands the (possibly mesh-sharded) ``jax.Array``
+    leaves to Orbax directly — each shard is written from the device
+    that holds it, with the sharding recorded in the checkpoint, so no
+    full-state host gather ever happens. This is the scalable path for
+    FSDP/dp-sharded TrainStates (on a multi-host mesh a gather of
+    non-addressable shards would not even be possible). The msgpack
+    fallback always gathers (it has no sharded representation).
+    """
     path = os.path.abspath(path)
     if use_orbax:
         try:
             import orbax.checkpoint as ocp
 
             ckptr = ocp.StandardCheckpointer()
-            ckptr.save(path, jax.device_get(state), force=True)
+            ckptr.save(
+                path, state if not gather else jax.device_get(state),
+                force=True,
+            )
             ckptr.wait_until_finished()
             return path
         except Exception:
@@ -37,19 +51,47 @@ def save_checkpoint(path: str, state: Any, use_orbax: bool = True) -> str:
     return fpath
 
 
-def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restore a pytree saved by :func:`save_checkpoint` (either format)."""
+def restore_checkpoint(path: str, template: Any, shardings: Any = None) -> Any:
+    """Restore a pytree saved by :func:`save_checkpoint` (either format).
+
+    With ``shardings`` (a NamedSharding tree matching ``template``, e.g.
+    ``parallel.mesh.fsdp_state_sharding``), the Orbax path restores each
+    leaf DIRECTLY into its target sharding — shards stream from disk to
+    their owning devices with no host-resident full copy. The msgpack
+    path restores to host and then ``device_put``s onto the shardings.
+    """
     path = os.path.abspath(path)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        return ckptr.restore(path, template)
+        if shardings is None:
+            return ckptr.restore(path, template)
+        abstract = jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(
+                jnp_shape(x), jnp_dtype(x), sharding=s
+            ),
+            template, shardings,
+        )
+        return ckptr.restore(path, abstract)
     fpath = path if path.endswith(".msgpack") else path + ".msgpack"
     import flax.serialization
 
     with open(fpath, "rb") as f:
-        return flax.serialization.from_bytes(template, f.read())
+        restored = flax.serialization.from_bytes(template, f.read())
+    if shardings is not None:
+        restored = jax.device_put(restored, shardings)
+    return restored
+
+
+def jnp_shape(x):
+    return getattr(x, "shape", ())
+
+
+def jnp_dtype(x):
+    import numpy as np
+
+    return getattr(x, "dtype", None) or np.asarray(x).dtype
 
 
 def restore_checkpoint_raw(path: str) -> Any:

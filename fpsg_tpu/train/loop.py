@@ -202,6 +202,40 @@ def train_network(conf: FPSGConfig) -> TrainState:
     model = build_model(conf)
     state, tx = make_state(model, conf, img_size=img_size)
 
+    # --- mesh parallelism (--dp/--mp/--fsdp): episode data-parallel x
+    # decoder cluster model-parallel, optional FSDP/ZeRO state sharding.
+    # Single-device (dp=mp=1) keeps the layout-pinned jit path untouched.
+    mesh, state_shardings = None, None
+    want_mesh = conf.dp != 1 or conf.mp > 1 or conf.fsdp
+    if want_mesh:
+        if conf.host_corpus:
+            raise ValueError(
+                "--host_corpus is incompatible with --dp/--mp/--fsdp: the "
+                "host-assembled episode path has no mesh sharding; use the "
+                "device-resident corpus for multi-chip runs"
+            )
+        from fpsg_tpu.parallel import (
+            fsdp_state_sharding, make_mesh, replicate, shard_train_state,
+        )
+
+        n_dev = len(jax.devices())
+        dp = (n_dev // conf.mp) if conf.dp in (-1, 0) else conf.dp
+        if conf.fsdp and dp < 2:
+            raise ValueError(f"--fsdp requires dp >= 2, got dp={dp}")
+        if conf.episodes_per_step % dp != 0:
+            raise ValueError(
+                f"--episodes_per_step ({conf.episodes_per_step}) must be a "
+                f"multiple of dp ({dp}): the episode axis shards over 'dp'"
+            )
+        mesh = make_mesh(dp=dp, mp=conf.mp)
+        logger.log(
+            f"Mesh: dp={dp} x mp={conf.mp}"
+            f"{' (FSDP state sharding)' if conf.fsdp else ''} "
+            f"on {n_dev} visible devices"
+        )
+        if conf.fsdp:
+            state_shardings = fsdp_state_sharding(state, mesh)
+
     start_epoch = 1
     if conf.resume > 0:
         resume_path = os.path.join(
@@ -210,8 +244,19 @@ def train_network(conf: FPSGConfig) -> TrainState:
         if not checkpoint_exists(resume_path):
             raise RuntimeError(f"{resume_path} does not exist, loading failed")
         logger.log(f"Resume previous training, start from epoch {conf.resume}")
-        state = restore_checkpoint(resume_path, state)
+        # With FSDP shardings, each leaf streams from disk directly into
+        # its dp-shard placement (no host-resident full state).
+        state = restore_checkpoint(resume_path, state,
+                                   shardings=state_shardings)
         start_epoch = conf.resume
+
+    if mesh is not None:
+        if conf.fsdp:
+            state = jax.device_put(state, state_shardings)
+        else:
+            state = shard_train_state(
+                state, mesh, model_parallel=(conf.mp > 1)
+            )
 
     e_per_step = conf.episodes_per_step
     steps_per_epoch = max(conf.n_episode // e_per_step, 1)
@@ -249,8 +294,12 @@ def train_network(conf: FPSGConfig) -> TrainState:
     else:
         train_step = make_train_step(
             model, tx, conf.n_shot, n_query, n_episodes=e_per_step,
-            steps_per_call=k_fused,
+            steps_per_call=k_fused, mesh=mesh,
+            state_shardings=state_shardings,
         )
+        if mesh is not None:
+            train_corpus = replicate(train_corpus, mesh)
+            test_corpus = replicate(test_corpus, mesh)
     eval_step = make_eval_step(model, conf.n_shot, n_query, with_emd=False)
 
     key = jax.random.PRNGKey(conf.seed)
@@ -292,7 +341,8 @@ def train_network(conf: FPSGConfig) -> TrainState:
             )
             try:
                 if not checkpoint_exists(crash_path):
-                    save_checkpoint(crash_path, live["state"])
+                    save_checkpoint(crash_path, live["state"],
+                                    gather=(mesh is None))
                 logger.log(
                     f"Interrupted at epoch {epoch}; state saved to "
                     f"{crash_path}"
@@ -355,7 +405,8 @@ def train_network(conf: FPSGConfig) -> TrainState:
         # SAVE (trainNetwork.py:192-197)
         if epoch % conf.save_interval == 0 or epoch == conf.epoch:
             save_checkpoint(
-                os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state
+                os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state,
+                gather=(mesh is None),
             )
             if (conf.export_torch and conf.img_encoder == "vgg_16"
                     and conf.pc_encoder == "pointnet"):
