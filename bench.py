@@ -72,7 +72,7 @@ def _enable_compile_cache():
 def measure_ours(n_episodes: int, steps: int, warmup: int,
                  compute_dtype: str = "bf16",
                  steps_per_call: int = 8,
-                 fused_conv: bool = True,
+                 fused_conv: bool = False,
                  bf16_moments: bool = False) -> float:
     import jax
     import jax.numpy as jnp
@@ -148,10 +148,14 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch-CPU reference baseline")
+    ap.add_argument("--fused-conv", dest="fused_conv",
+                    action="store_true", default=False,
+                    help="run the VGG branch through the fused Pallas "
+                         "conv+BN chain (A/B; measured slower — "
+                         "BASELINE.md round-3e)")
     ap.add_argument("--no-fused-conv", dest="fused_conv",
                     action="store_false",
-                    help="run the VGG branch without the fused Pallas "
-                         "conv+BN chain (A/B comparison)")
+                    help="explicit tensor-path VGG branch (the default)")
     ap.add_argument("--bf16-moments", action="store_true",
                     help="Adam moments stored bf16 (A/B: half the "
                          "optimizer HBM state/traffic, bounded drift)")

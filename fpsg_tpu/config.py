@@ -88,8 +88,15 @@ class FPSGConfig:
     num_pts: int = 2048          # points per cloud (reference hardcodes 2048)
     compute_dtype: str = "f32"   # 'f32' or 'bf16' (mixed precision: params,
                                  # BN stats, and losses stay f32)
-    fused_conv: bool = True      # fused Pallas conv+BN chain on the VGG
-                                 # image branch (train-mode; TPU only)
+    fused_conv: bool = False     # fused Pallas conv+BN chain on the VGG
+                                 # image branch (train-mode; TPU only).
+                                 # Default OFF by measurement: 17.27 vs
+                                 # 18.28 eps A/B even gated to the sites
+                                 # the conv probe favored — XLA already
+                                 # fuses the BN affine into the conv
+                                 # pass, so the chain must beat the XLA
+                                 # conv itself and does not (BASELINE.md
+                                 # round-3e)
     precise_stats: bool = False  # two-pass BN variance everywhere — the
                                  # exact torch-trajectory parity mode
                                  # (PARITY.md round-2 notes); ~5% slower
@@ -190,6 +197,8 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
       choices=["f32", "bf16"])
     p("--precise_stats", action="store_true")
     p("--bf16_moments", action="store_true")
+    p("--fused_conv", dest="fused_conv", action="store_true",
+      default=d.fused_conv)
     p("--no_fused_conv", dest="fused_conv", action="store_false")
     p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)

@@ -90,7 +90,7 @@ class ImgPCProtoNet(nn.Module):
     aggregate: str = "single"
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
-    fused_conv: bool = True      # fused Pallas conv+BN chain for the VGG
+    fused_conv: bool = False     # fused Pallas conv+BN chain for the VGG
                                  # image branch in train mode
                                  # (fpsg_tpu.ops.conv3x3)
     precise_stats: bool = False  # two-pass BN variance everywhere: exact

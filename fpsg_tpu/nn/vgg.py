@@ -468,7 +468,7 @@ class VGG16BN(nn.Module):
                                  # space-to-depth packed space (identical
                                  # math at full-lane MXU rates; see the
                                  # module comment at _S2D_TAP)
-    fused_conv: bool = True      # run the conv+BN chain through the
+    fused_conv: bool = False     # run the conv+BN chain through the
                                  # fused Pallas conv kernels in train
                                  # mode (ops/conv3x3.py): the previous
                                  # BN's affine+relu in the conv prologue,
@@ -664,7 +664,7 @@ class ImageEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
-    fused_conv: bool = True
+    fused_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:

@@ -40,7 +40,8 @@ def test_vgg_fused_conv_matches_tensor_path(monkeypatch, s2d):
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     x = jax.random.normal(k1, (2, 32, 32, 3), jnp.float32)
     dx = 1e-6 * jax.random.normal(k3, x.shape)
-    m = vgg.VGG16BN(s2d_block1=s2d)
+    m = vgg.VGG16BN(s2d_block1=s2d, fused_conv=True)
+    monkeypatch.setattr(vgg, "_FC_SKIP", frozenset())
     v = m.init({"params": k2}, x, True)
 
     l_fb, out_fb, st_fb, g_fb = _run(m, v, x)
@@ -71,7 +72,8 @@ def test_vgg_fused_conv_eval_mode_unaffected(monkeypatch):
     the fused-conv flag (the fused chain is train-only)."""
     k1, k2 = jax.random.split(jax.random.PRNGKey(2))
     x = jax.random.normal(k1, (1, 32, 32, 3), jnp.float32)
-    m = vgg.VGG16BN()
+    m = vgg.VGG16BN(fused_conv=True)
+    monkeypatch.setattr(vgg, "_FC_SKIP", frozenset())
     v = m.init({"params": k2}, x, True)
     out_fb = m.apply(v, x, False)
     monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
@@ -94,7 +96,8 @@ def test_vgg_fused_conv_bf16_no_worse_than_tensor_path(monkeypatch):
     out32 = np.asarray(m32.apply(v, x, True, mutable=["batch_stats"])[0],
                        np.float32)
 
-    mb = vgg.VGG16BN(dtype=jnp.bfloat16)
+    mb = vgg.VGG16BN(dtype=jnp.bfloat16, fused_conv=True)
+    monkeypatch.setattr(vgg, "_FC_SKIP", frozenset())
     _, out_t, _, _ = _run(mb, v, x)
     monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
     monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
@@ -125,7 +128,8 @@ def test_full_train_step_executes_with_fused_chain(monkeypatch):
     def build_and_step():
         model = ImgPCProtoNet(img_backbone="vgg_16", pc_backbone="pointnet",
                               intra_support=True, num_clusters=2,
-                              num_nodes=2, num_points=64)
+                              num_nodes=2, num_points=64,
+                              fused_conv=True)
         corpus = DeviceCorpus.build(synthetic_corpus(
             n_classes=2, items_per_class=6, n_pts=64, img_size=32))
         sample = {
@@ -146,6 +150,7 @@ def test_full_train_step_executes_with_fused_chain(monkeypatch):
         return float(jnp.mean(metrics["query_rec_loss"]))
 
     l_plain = build_and_step()
+    monkeypatch.setattr(vgg, "_FC_SKIP", frozenset())
     monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
     monkeypatch.setattr(vgg, "_FORCE_POOL_KERNEL", True)
     l_fused = build_and_step()

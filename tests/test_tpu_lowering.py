@@ -122,7 +122,7 @@ def test_full_production_train_step_lowers(monkeypatch):
 
     model = ImgPCProtoNet(
         img_backbone="vgg_16", pc_backbone="pointnet", intra_support=True,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, fused_conv=True,
     )
     sample = g._example_sample(32, 1, 224, 2048, jax.random.PRNGKey(0))
     # init EXECUTES on CPU — keep kernels in interpret mode for it; only
@@ -146,6 +146,7 @@ def test_full_production_train_step_lowers(monkeypatch):
     # passes it down to conv_bn_fused
     monkeypatch.setattr(vgg, "interpret_default", lambda: False)
     monkeypatch.setattr(vgg, "_FORCE_CONV_KERNEL", True)
+    monkeypatch.setattr(vgg, "_FC_SKIP", frozenset())
 
     # n_episodes=2: the kernels also lower under the vmap batching rule
     # (batch grid dim + per-episode accumulator blocks)
