@@ -225,6 +225,44 @@ def _mid_bwd_dw_kernel_factory(with_stats: bool):
 
 
 _DW_COL_TILE = 256
+_DW_OVERRIDE = None   # probe hook: (td, tr_dw) for the split dW kernel
+
+
+def _dw_bytes(tr: int, din: int, td: int, isz: int) -> int:
+    """VMEM estimate for the split dW kernel: dW block + the pre-`+=`
+    dot result, the double-buffered swept inputs, and the f32
+    intermediates (adjusted gy, z)."""
+    return (2 * din * td * 4 + 2 * tr * (din + 2 * td) * isz
+            + 4 * tr * (din + 3 * td) + tr * din * isz)
+
+
+# Measured on v5e (benchmarks/fused_stack_probe.py, production decoder
+# shapes C=Nn=4, R=1536, bf16): the (769->384) layer at full-width dW
+# runs 0.36 ms vs 0.40 at the 256-column tiling; the (1539->769) layer
+# REFUSES full width (compile failure at tr<=128; td=512 measured
+# SLOWER, 1.46 vs 1.38 — the halved-K wgrad loses more than the saved
+# re-reads) and keeps the historical tiling. A fully-combined
+# dgrad+wgrad one-kernel backward was also measured and REJECTED:
+# 0.49 vs 0.36 ms on the layer where it fit, and >16 MB scoped VMEM
+# (dW block + its pre-accumulate dot result + double-buffered w) on
+# the wider one.
+_DW_FULL_BUDGET = 8 * 2**20
+
+
+def _dw_tiles(r: int, p: int, din: int, dout: int, isz: int):
+    """(Dout tile, row tile) for the split dW kernel. Prefer the FULL
+    Dout width (nDo=1: one sweep of yp/y/gy instead of one per Dout
+    tile) at the largest row tile fitting the measured VMEM budget;
+    fall back to the historical (256-column, 256-row) tiling."""
+    if _DW_OVERRIDE is not None:
+        return _DW_OVERRIDE
+    tr = _row_tile(r, p, cap=256)
+    while tr >= 128:
+        if r % tr == 0 and _dw_bytes(tr, din, dout, isz) \
+                <= _DW_FULL_BUDGET:
+            return dout, tr
+        tr //= 2
+    return min(_DW_COL_TILE, dout), _row_tile(r, p, cap=256)
 
 
 def _dw_specs(c, nn_, tr, din, dout, td):
@@ -303,13 +341,13 @@ def _fused_mid_fwd_vjp(yp, k, b, w, s, with_stats, p):
 def _fused_mid_bwd_impl(yp, k, b, w, s, y, gy, gzs, gzq, with_stats, p):
     c, nn_, r, din = yp.shape
     dout = w.shape[-1]
-    tr = _row_tile(r, p, cap=256)
-    grid = (c, nn_, r // tr)
     kf = k.astype(jnp.float32)
     bf = b.astype(jnp.float32)
     sf = s.astype(jnp.float32)
     gzs = gzs.astype(jnp.float32)
     gzq = gzq.astype(jnp.float32)
+    tr = _row_tile(r, p, cap=256)
+    grid = (c, nn_, r // tr)
     dyp, dk, db = pl.pallas_call(
         _mid_bwd_dx_kernel_factory(with_stats),
         grid=grid,
@@ -328,11 +366,11 @@ def _fused_mid_bwd_impl(yp, k, b, w, s, y, gy, gzs, gzq, with_stats, p):
         ],
         interpret=interpret_default(),
     )(yp, kf, bf, w, sf, y, gy, gzs, gzq)
-    td = min(_DW_COL_TILE, dout)
-    in_specs, out_spec = _dw_specs(c, nn_, tr, din, dout, td)
+    td, tr_dw = _dw_tiles(r, p, din, dout, yp.dtype.itemsize)
+    in_specs, out_spec = _dw_specs(c, nn_, tr_dw, din, dout, td)
     dw = pl.pallas_call(
         _mid_bwd_dw_kernel_factory(with_stats),
-        grid=(c, nn_, pl.cdiv(dout, td), r // tr),
+        grid=(c, nn_, pl.cdiv(dout, td), r // tr_dw),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((c, nn_, din, dout), jnp.float32),
