@@ -83,12 +83,13 @@ def _fwd_kernel_factory(tile_n: int, f: int):
 
 
 def _bwd_kernel_factory(tile_n: int, f: int, out_dtype):
-    def kernel(y_ref, s_ref, gzs_ref, gzq_ref, gmax_ref, imax_ref,
+    def kernel(y_ref, a_ref, b_ref, gmax_ref, imax_ref,
                gmin_ref, imin_ref, gy_ref):
         t = pl.program_id(1)
+        # stat cotangent in hoisted form: gzs + 2*(y-s)*gzq == A + y*B
+        # with A = gzs - 2*s*gzq, B = 2*gzq precomputed per channel
         y = y_ref[0].astype(jnp.float32)               # (TN, F)
-        z = y - s_ref[0][None, :]
-        gy = gzs_ref[0][None, :] + 2.0 * z * gzq_ref[0][None, :]
+        gy = a_ref[0][None, :] + y * b_ref[0][None, :]
         rows = jax.lax.broadcasted_iota(jnp.int32, (tile_n, f), 0) \
             + t * tile_n
         gy += jnp.where(rows == imax_ref[0, 0][None, :],
@@ -145,21 +146,21 @@ def _moments_bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
                         memory_space=pltpu.VMEM)
     per_b = pl.BlockSpec((1, 1, f), lambda bi, t: (bi, 0, 0),
                          memory_space=pltpu.VMEM)
+    bvec = 2.0 * gzq.astype(jnp.float32)
+    avec = gzs.astype(jnp.float32) - s.astype(jnp.float32) * bvec
     gy = pl.pallas_call(
         _bwd_kernel_factory(tn, f, y.dtype),
         grid=(b, n // tn),
         in_specs=[
             pl.BlockSpec((1, tn, f), lambda bi, t: (bi, t, 0),
                          memory_space=pltpu.VMEM),
-            chan, chan, chan, per_b, per_b, per_b, per_b,
+            chan, chan, per_b, per_b, per_b, per_b,
         ],
         out_specs=pl.BlockSpec((1, tn, f), lambda bi, t: (bi, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, f), y.dtype),
         interpret=interpret,
-    )(y, s.reshape(1, f).astype(jnp.float32),
-      gzs.reshape(1, f).astype(jnp.float32),
-      gzq.reshape(1, f).astype(jnp.float32),
+    )(y, avec.reshape(1, f), bvec.reshape(1, f),
       gmax[:, None].astype(jnp.float32), imax[:, None],
       gmin[:, None].astype(jnp.float32), imin[:, None])
     return gy

@@ -75,11 +75,13 @@ def _fwd_kernel_factory(th: int, w2: int, c2: int):
 def _bwd_kernel_factory(th: int, w2: int, c2: int, out_dtype):
     c = c2 // 2
 
-    def kernel(y_ref, s_ref, gzs_ref, gzq_ref, gmax_ref, imax_ref,
+    def kernel(y_ref, a_ref, b_ref, gmax_ref, imax_ref,
                gmin_ref, imin_ref, gy_ref):
+        # stat cotangent in hoisted form: gzs + 2*(y-s)*gzq == A + y*B
+        # with A = gzs - 2*s*gzq, B = 2*gzq precomputed per channel —
+        # 3 VPU ops/element instead of 5 over the full tensor
         y = y_ref[0].astype(jnp.float32)               # (2*th, w2, c2)
-        z = y - s_ref[0][None, None, :]
-        gy = gzs_ref[0][None, None, :] + 2.0 * z * gzq_ref[0][None, None, :]
+        gy = a_ref[0][None, None, :] + y * b_ref[0][None, None, :]
 
         gmax = gmax_ref[0].astype(jnp.float32)         # (th, w2, c)
         imax = imax_ref[0].astype(jnp.int32)
@@ -143,22 +145,23 @@ def _bwd_pallas(y, s, gzs, gzq, gmax, imax, gmin, imin, interpret):
                         memory_space=pltpu.VMEM)
     qspec = pl.BlockSpec((1, th, w2, c2 // 2), lambda bi, t: (bi, t, 0, 0),
                          memory_space=pltpu.VMEM)
+    sf = s.astype(jnp.float32)
+    bvec = 2.0 * gzq.astype(jnp.float32)
+    avec = gzs.astype(jnp.float32) - sf * bvec
     gy = pl.pallas_call(
         _bwd_kernel_factory(th, w2, c2, y.dtype),
         grid=(b, (h // 2) // th),
         in_specs=[
             pl.BlockSpec((1, 2 * th, w2, c2), lambda bi, t: (bi, t, 0, 0),
                          memory_space=pltpu.VMEM),
-            stat, stat, stat, qspec, qspec, qspec, qspec,
+            stat, stat, qspec, qspec, qspec, qspec,
         ],
         out_specs=pl.BlockSpec((1, 2 * th, w2, c2),
                                lambda bi, t: (bi, t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w2, c2), y.dtype),
         interpret=interpret,
-    )(y, s.reshape(1, c2).astype(jnp.float32),
-      gzs.reshape(1, c2).astype(jnp.float32),
-      gzq.reshape(1, c2).astype(jnp.float32),
+    )(y, avec.reshape(1, c2), bvec.reshape(1, c2),
       gmax.astype(jnp.float32), imax,
       gmin.astype(jnp.float32), imin)
     return gy
