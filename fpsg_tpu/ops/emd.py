@@ -91,10 +91,14 @@ def _eps_at(i, eps: float, n_iters: int, anneal_frac: float, eps0: float):
 
 def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
                              anneal_frac: float, eps0: float, tol: float,
-                             omega: float = 1.0):
+                             omega: float = 1.0, warm: bool = False):
     t_anneal = max(int(n_iters * anneal_frac), 1)
 
-    def kernel(x_ref, y_ref, f_ref, g_ref):
+    def kernel(x_ref, y_ref, *rest):
+        if warm:
+            g0_ref, f_ref, g_ref = rest
+        else:
+            f_ref, g_ref = rest
         y = y_ref[0]                                   # (M, Dp) f32
         n = x_ref.shape[1]
         m = y.shape[0]
@@ -104,7 +108,13 @@ def _sinkhorn_kernel_factory(n_iters: int, eps: float, tile_n: int,
         y_sq = jnp.sum(y * y, axis=1, keepdims=True)   # (M, 1)
 
         f_ref[0, 0, :] = jnp.zeros((n,), jnp.float32)
-        g_ref[0, 0, :] = jnp.zeros((m,), jnp.float32)
+        if warm:
+            # Warm start: g seeded from a coarse solve's c-transform (the
+            # multiscale path in sinkhorn_emd); the first f-update below
+            # immediately consumes it, so f needs no seed of its own.
+            g_ref[0, 0, :] = g0_ref[0, 0, :]
+        else:
+            g_ref[0, 0, :] = jnp.zeros((m,), jnp.float32)
 
         def cost_tile(i):
             # ref-sliced row tile; Mosaic lowers pl.ds on refs only
@@ -255,6 +265,76 @@ def _sinkhorn_potentials_pallas(
     return f.reshape(b, n), g.reshape(b, m)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("eps", "n_iters", "tile_n", "interpret", "tol", "omega",
+                     "eps0", "anneal_frac"),
+)
+def _sinkhorn_potentials_pallas_warm(
+    x: jax.Array,
+    y: jax.Array,
+    g0: jax.Array,
+    *,
+    eps: float,
+    n_iters: int,
+    tile_n: int = 256,
+    interpret: Optional[bool] = None,
+    tol: float = 0.0,
+    omega: float = 1.0,
+    eps0: Optional[float] = None,
+    anneal_frac: float = 0.0,
+):
+    """Sinkhorn potentials from a warm-started g (multiscale fine stage).
+
+    ``eps0`` is the HANDOFF epsilon the warm start was produced at: the
+    fine stage anneals eps0 → eps over the first ``anneal_frac`` of
+    iterations (skipping the top of the cold schedule, which the coarse
+    solve already covered), then runs over-relaxed cleanup with the same
+    sup-norm early exit as the cold kernel. ``eps0=None`` (or == eps)
+    disables the anneal entirely.
+    """
+    if interpret is None:
+        interpret = interpret_default()
+    if eps0 is None:
+        eps0 = eps
+    b, n, _ = x.shape
+    m = y.shape[1]
+    tile_n = min(tile_n, n)
+    while n % tile_n != 0:
+        tile_n //= 2
+    xp = pad_points(x.astype(jnp.float32))
+    yp = pad_points(y.astype(jnp.float32))
+    dp = xp.shape[-1]
+
+    f, g = pl.pallas_call(
+        _sinkhorn_kernel_factory(
+            n_iters, float(eps), tile_n, float(anneal_frac), float(eps0),
+            float(tol), float(omega), warm=True,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, dp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, dp), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, yp, g0.reshape(b, 1, m).astype(jnp.float32))
+    return f.reshape(b, n), g.reshape(b, m)
+
+
 def _logsumexp(a: jax.Array, axis: int) -> jax.Array:
     m = jax.lax.stop_gradient(jnp.max(a, axis=axis, keepdims=True))
     return jnp.squeeze(m, axis) + jnp.log(
@@ -266,7 +346,8 @@ def _logsumexp(a: jax.Array, axis: int) -> jax.Array:
     jax.jit,
     static_argnames=(
         "eps", "n_iters", "cost", "reduce", "impl", "anneal_frac", "eps0",
-        "tol", "omega",
+        "tol", "omega", "coarse", "coarse_iters", "coarse_handoff",
+        "fine_anneal_frac",
     ),
 )
 def sinkhorn_emd(
@@ -282,7 +363,22 @@ def sinkhorn_emd(
     eps0: float = 0.1,
     tol: float = DEFAULT_TOL,
     omega: float = DEFAULT_OMEGA,
+    coarse: int = 0,
+    coarse_iters: int = 360,
+    coarse_handoff: float = 0.01,
+    fine_anneal_frac: float = 0.4,
 ) -> jax.Array:
+    # NOTE on `coarse` (multiscale warm start — MEASURED AND REJECTED as a
+    # default, benchmarks/emd_multiscale_probe.py, BASELINE.md r3g): solving
+    # on a strided subsample and c-transforming the potentials up loses at
+    # production accuracy — a 256-of-2048 subsample's potential
+    # discretization error (~O(coarse NN spacing^2) ~ 1e-2) exceeds any
+    # handoff eps small enough to save meaningful fine iterations, and at
+    # eps=2e-4 the fine map's contraction ~1 cannot repair it (measured:
+    # +26% mean error at eps_mid=eps; 15-38% across handoff variants vs
+    # 0.31% cold, with at most 1.5x time saved). The epsilon anneal IS the
+    # effective multiscale for this regime. Kept opt-in so the probe stays
+    # reproducible; leave coarse=0 for production use.
     """Sinkhorn-approximate EMD between point clouds.
 
     Default accuracy (round 3, measured vs exact assignment — scipy LSA on
@@ -360,11 +456,47 @@ def sinkhorn_emd(
     c_sg = jax.lax.stop_gradient(c)
 
     if impl == "pallas":
-        f, g = _sinkhorn_potentials_pallas(
-            jax.lax.stop_gradient(x), jax.lax.stop_gradient(y),
-            eps=eps, n_iters=n_iters,
-            anneal_frac=anneal_frac, eps0=eps0, tol=tol, omega=omega,
-        )
+        xs = jax.lax.stop_gradient(x)
+        ys = jax.lax.stop_gradient(y)
+        if coarse > 0 and n >= 4 * coarse and m >= 4 * coarse:
+            # Multiscale warm start: solve the annealed problem on a
+            # strided subsample (strided — NOT a prefix — because decoder
+            # outputs are cluster-major, so a prefix would cover only the
+            # first cluster), c-transform the coarse potential onto the
+            # full cloud, then run only over-relaxed cleanup at full
+            # resolution. A coarse iteration costs (coarse/N)^2 of a fine
+            # one, so the anneal (the bulk of the cold budget) becomes
+            # nearly free. Same fixed point as the cold solve — the warm
+            # start changes the iteration path, not the problem.
+            xc = xs[..., :: n // coarse, :][..., :coarse, :]
+            yc = ys[..., :: m // coarse, :][..., :coarse, :]
+            # Handoff epsilon: the coarse potentials' discretization error
+            # must sit well inside the basin of the eps they hand off at,
+            # so the coarse stage stops its anneal at eps_mid >= eps and
+            # the fine stage anneals only eps_mid -> eps. eps_mid == eps
+            # (coarse_handoff=0) measured +26% mean error at N=2048 — at
+            # eps=2e-4 the fine map's contraction is ~1 and cannot repair
+            # coarse-resolution error (benchmarks/emd_multiscale_probe.py).
+            eps_mid = coarse_handoff if coarse_handoff > 0.0 else eps
+            fc, _ = _sinkhorn_potentials_pallas(
+                xc, yc, eps=eps_mid, n_iters=coarse_iters,
+                anneal_frac=anneal_frac, eps0=eps0, tol=tol, omega=omega,
+            )
+            c_cy = pairwise_sqdist(xc, ys)                 # (B, coarse, M)
+            g0 = -eps_mid * _logsumexp(
+                (fc[..., :, None] - c_cy) / eps_mid
+                - jnp.log(jnp.float32(coarse)),
+                axis=-2,
+            )
+            f, g = _sinkhorn_potentials_pallas_warm(
+                xs, ys, g0, eps=eps, n_iters=n_iters, tol=tol, omega=omega,
+                eps0=eps_mid, anneal_frac=fine_anneal_frac,
+            )
+        else:
+            f, g = _sinkhorn_potentials_pallas(
+                xs, ys, eps=eps, n_iters=n_iters,
+                anneal_frac=anneal_frac, eps0=eps0, tol=tol, omega=omega,
+            )
     else:
         t_anneal = max(int(n_iters * anneal_frac), 1)
 

@@ -157,6 +157,30 @@ def test_production_default_within_1pct_of_exact(rng):
         assert abs(ours - exact) / exact < 0.01, (scale, ours, exact)
 
 
+def test_multiscale_matches_cold_fixed_point(rng):
+    """The coarse-to-fine warm start (coarse=) reaches the same entropic
+    fixed point as the cold annealed solve — the warm start changes the
+    iteration path, not the problem. Reconstruction-like pairs (the hard
+    small-cost regime) at a production-like eps-to-cost ratio."""
+    x = rng.standard_normal((2, 512, 3)).astype(np.float32) * 0.3
+    y = (x + rng.standard_normal((2, 512, 3)).astype(np.float32) * 0.05)
+    cold = np.asarray(sinkhorn_emd(jnp.array(x), jnp.array(y),
+                                   eps=1e-3, n_iters=300))
+    warm = np.asarray(sinkhorn_emd(jnp.array(x), jnp.array(y),
+                                   eps=1e-3, n_iters=300,
+                                   coarse=128, coarse_iters=300))
+    np.testing.assert_allclose(warm, cold, rtol=5e-3)
+
+
+def test_multiscale_ignored_when_cloud_too_small(rng):
+    """coarse >= N/4 falls back to the cold path (identical result)."""
+    x = jnp.array(rng.standard_normal((1, 64, 3)).astype(np.float32) * 0.4)
+    y = jnp.array(rng.standard_normal((1, 64, 3)).astype(np.float32) * 0.4)
+    a = sinkhorn_emd(x, y, eps=1e-3, n_iters=200)
+    b = sinkhorn_emd(x, y, eps=1e-3, n_iters=200, coarse=32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=0)
+
+
 def test_emd_wrapper_is_sum_reduced_default(rng):
     """emd_wrapper == sinkhorn_emd(reduce='sum') at default settings — the
     drop-in for emd_loss(..., reduce='sum', sinkhorn=True)."""
