@@ -105,7 +105,16 @@ def _bwd_kernel_factory(th: int, w2: int, c2: int, out_dtype):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fwd_pallas(y, s, interpret):
     b, h, w2, c2 = y.shape
-    th = pool_row_tile(h // 2)
+    # Scoped-VMEM estimate per tile row-pair: the double-buffered input
+    # block (2*ib), the f32 z/statistics temporaries (8), and the four
+    # double-buffered quarter outputs (ib+1). Validated against the one
+    # measured overflow: (4,112,56,256) f32 at tile 28 hit Mosaic's
+    # 16.00 MB scope exactly (estimate: 16.86M) — the f32 CLI path's
+    # conv2_2 site; bf16 production shapes keep their measured tiles.
+    ib = y.dtype.itemsize
+    per_th = 2 * w2 * c2 * (2 * ib + 8) + 2 * w2 * c2 * (ib + 1)
+    th = pool_row_tile(h // 2, row_bytes=per_th,
+                       budget=14 * 1024 * 1024)
     stat = pl.BlockSpec((1, w2, c2), lambda bi, t: (0, 0, 0),
                         memory_space=pltpu.VMEM)
     quarter = lambda dt: jax.ShapeDtypeStruct((b, h // 2, w2, c2 // 2), dt)

@@ -213,3 +213,24 @@ def test_vgg_fused_pool_path_matches_fallback(monkeypatch):
         frob = np.linalg.norm(gk - gfb) / ref
         floor = np.linalg.norm(gn - gfb) / ref
         assert frob <= max(3.0 * floor, 1e-4), (frob, floor)
+
+
+def test_fwd_tile_byte_budget():
+    """Regression: the f32 CLI path's conv2_2 pool site (B,112,56,256)
+    overflowed Mosaic's 16 MB scoped VMEM by 1 KB at row tile 28 (the
+    round-3e fix budgeted only the backward). The fwd tile choice must
+    drop to 14 there while the measured-good bf16 production shapes
+    keep tile 28 (BASELINE.md round-3e on-chip verification)."""
+    from fpsg_tpu.ops._pallas_utils import pool_row_tile
+
+    def fwd_tile(h, w2, c2, ib):
+        per_th = 2 * w2 * c2 * (2 * ib + 8) + 2 * w2 * c2 * (ib + 1)
+        return pool_row_tile(h // 2, row_bytes=per_th,
+                             budget=14 * 1024 * 1024), per_th
+
+    th, per = fwd_tile(112, 56, 256, 4)        # the f32 overflow shape
+    assert th == 14 and th * per <= 14 * 1024 * 1024
+    for (h, w2, c2) in [(224, 112, 128), (112, 56, 256), (56, 28, 512)]:
+        th, per = fwd_tile(h, w2, c2, 2)       # bf16 production shapes
+        assert th == 28, (h, w2, c2, th)
+        assert th * per <= 14 * 1024 * 1024
