@@ -73,6 +73,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
                  compute_dtype: str = "bf16",
                  steps_per_call: int = 8,
                  fused_conv: bool = False,
+                 winograd: bool = False,
                  bf16_moments: bool = False) -> float:
     import jax
     import jax.numpy as jnp
@@ -92,6 +93,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         intra_support=True,
         dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
         fused_conv=fused_conv,
+        winograd=winograd,
     )
     corpus = DeviceCorpus.build(
         synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
@@ -156,6 +158,14 @@ def main():
     ap.add_argument("--no-fused-conv", dest="fused_conv",
                     action="store_false",
                     help="explicit tensor-path VGG branch (the default)")
+    ap.add_argument("--winograd", dest="winograd",
+                    action="store_true", default=False,
+                    help="Winograd F(2,3) for the unpacked VGG convs "
+                         "(A/B; benchmarks/winograd_probe.py decides "
+                         "per-site viability)")
+    ap.add_argument("--no-winograd", dest="winograd",
+                    action="store_false",
+                    help="direct XLA convs (the default)")
     ap.add_argument("--bf16-moments", dest="bf16_moments",
                     action="store_true", default=True,
                     help="Adam moments stored bf16 (the perf-config "
@@ -191,12 +201,14 @@ def main():
     eps = measure_ours(
         args.episodes_per_step, args.steps, args.warmup,
         args.compute_dtype, steps_per_call=args.steps_per_call,
-        fused_conv=args.fused_conv, bf16_moments=args.bf16_moments)
+        fused_conv=args.fused_conv, winograd=args.winograd,
+        bf16_moments=args.bf16_moments)
     out = {
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),
         "unit": "episodes/s",
         "fused_conv": args.fused_conv,
+        "winograd": args.winograd,
         "bf16_moments": args.bf16_moments,
         # estimated reference-on-CUDA throughput (module docstring);
         # understates the speedup (reference dispatch/H2D overheads not

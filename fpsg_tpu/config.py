@@ -97,6 +97,13 @@ class FPSGConfig:
                                  # pass, so the chain must beat the XLA
                                  # conv itself and does not (BASELINE.md
                                  # round-3e)
+    winograd: bool = False       # Winograd F(2,3) for the unpacked VGG
+                                 # convs (fpsg_tpu.ops.winograd): 4/9 the
+                                 # MACs in fwd/dgrad/wgrad for 4x-input
+                                 # transformed activations in HBM; LSB
+                                 # rounding differences only. Default OFF
+                                 # pending the TPU probe
+                                 # (benchmarks/winograd_probe.py)
     precise_stats: bool = False  # two-pass BN variance everywhere — the
                                  # exact torch-trajectory parity mode
                                  # (PARITY.md round-2 notes); ~5% slower
@@ -200,6 +207,9 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--fused_conv", dest="fused_conv", action="store_true",
       default=d.fused_conv)
     p("--no_fused_conv", dest="fused_conv", action="store_false")
+    p("--winograd", dest="winograd", action="store_true",
+      default=d.winograd)
+    p("--no_winograd", dest="winograd", action="store_false")
     p("--seq_eval_chunk", type=int, default=d.seq_eval_chunk)
     p("--finetune_layer", type=int, default=d.finetune_layer)
     p("--dump_reconstructions", action="store_true")

@@ -93,6 +93,8 @@ class ImgPCProtoNet(nn.Module):
     fused_conv: bool = False     # fused Pallas conv+BN chain for the VGG
                                  # image branch in train mode
                                  # (fpsg_tpu.ops.conv3x3)
+    winograd: bool = False       # Winograd F(2,3) VGG convs (4/9 MACs,
+                                 # LSB rounding only; fpsg_tpu.ops.winograd)
     precise_stats: bool = False  # two-pass BN variance everywhere: exact
                                  # reference-trajectory stats (the parity
                                  # tests run in this mode); default is the
@@ -130,7 +132,7 @@ class ImgPCProtoNet(nn.Module):
         self.img_encoder = img_cls(
             backbone=self.img_backbone, axis_name=self.axis_name,
             dtype=self.dtype, precise_stats=self.precise_stats,
-            fused_conv=self.fused_conv,
+            fused_conv=self.fused_conv, winograd=self.winograd,
             name="img_encoder",
         )
         self.pc_encoder = PCEncoder(

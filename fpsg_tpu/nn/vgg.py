@@ -130,10 +130,23 @@ def _pool_bwd_kernel(idx_ref, g_ref, gx_ref):
     gx_ref[0] = jnp.concatenate(rows, axis=1).reshape(2 * h2, w2, c2)
 
 
-def _pool_row_tile(h2: int) -> int:
+def _pool_row_tile(h2: int, w2: int = 0, c2: int = 0,
+                   itemsize: int = 0, bwd: bool = False) -> int:
+    """Byte-budgeted row tile (see ops/_pallas_utils.pool_row_tile and
+    the measured-overflow note in ops/pool_moments._fwd_pallas): the
+    fwd kernel holds the double-buffered input block, the f32
+    first-match compares, and the double-buffered y/idx outputs; the
+    bwd holds idx/g inputs, the phase-concat temporaries and the
+    double-width output."""
     from fpsg_tpu.ops._pallas_utils import pool_row_tile
 
-    return pool_row_tile(h2)
+    if not w2:
+        return pool_row_tile(h2)
+    if bwd:  # (w2, c2=channel count of g here) per tile row
+        per_th = w2 * c2 * (2 + 14 * itemsize)
+    else:
+        per_th = w2 * c2 * (6 * itemsize + 11)
+    return pool_row_tile(h2, row_bytes=per_th, budget=14 * 1024 * 1024)
 
 
 def _pool_pallas_fwd(x):
@@ -142,7 +155,7 @@ def _pool_pallas_fwd(x):
     from fpsg_tpu.ops._pallas_utils import interpret_default
 
     b, h, w2, c2 = x.shape
-    th = _pool_row_tile(h // 2)
+    th = _pool_row_tile(h // 2, w2, c2, x.dtype.itemsize)
     return pl.pallas_call(
         _pool_fwd_kernel,
         grid=(b, (h // 2) // th),
@@ -171,7 +184,7 @@ def _pool_pallas_bwd(idx, g):
     from fpsg_tpu.ops._pallas_utils import interpret_default
 
     b, h2, w2, c = g.shape
-    th = _pool_row_tile(h2)
+    th = _pool_row_tile(h2, w2, c, g.dtype.itemsize, bwd=True)
     return pl.pallas_call(
         _pool_bwd_kernel,
         grid=(b, h2 // th),
@@ -248,6 +261,12 @@ _FORCE_CONV_KERNEL = False  # tests: run the fused conv+BN chain in
 # passes. Indices: conv3_x = 14/17/20, conv4_x = 24/27/30,
 # conv5_x = 34/37/40 (torchvision vgg16_bn features numbering).
 _FC_SKIP = frozenset({14, 17, 20, 24, 27, 30, 34, 37, 40})
+# Feature indices whose conv runs Winograd F(2,3) (ops/winograd.py) when
+# the model's ``winograd`` flag is on: 4/9 of the direct conv's MACs in
+# fwd/dgrad/wgrad at the cost of 4x-input transformed activations in HBM.
+# Default = every unpacked conv site; trim per the TPU probe
+# (benchmarks/winograd_probe.py) the way _FC_SKIP gates the fused chain.
+_WG_SITES = frozenset({7, 10, 14, 17, 20, 24, 27, 30, 34, 37, 40})
 
 
 def _inject_conv_stats(bn_mod, s_c, zs, zq, n, fold, phases: int = 1):
@@ -337,6 +356,9 @@ class _ConvFold(nn.Module):
 
     features: int
     dtype: Optional[jnp.dtype] = None
+    winograd: bool = False   # Winograd F(2,3) instead of the direct conv
+                             # (same math, 4/9 the MACs, LSB-level rounding
+                             # differences — ops/winograd.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, return_params: bool = False):
@@ -355,6 +377,11 @@ class _ConvFold(nn.Module):
             # fused-conv orchestration happens at VGG scope (a flax
             # module cannot call its parent's sibling BN from here)
             return kernel, bias, dt
+        if (self.winograd and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0):
+            from fpsg_tpu.ops.winograd import winograd_conv3x3
+
+            return winograd_conv3x3(x.astype(dt), kernel.astype(dt)), bias
         y = jax.lax.conv_general_dilated(
             x.astype(dt), kernel.astype(dt), (1, 1), ((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -475,6 +502,11 @@ class VGG16BN(nn.Module):
                                  # output statistics in its epilogue —
                                  # the normalized tensors and statistics
                                  # read passes never materialize
+    winograd: bool = False       # Winograd F(2,3) for the unpacked conv
+                                 # sites in _WG_SITES (ops/winograd.py):
+                                 # 4/9 the MACs in fwd/dgrad/wgrad, LSB
+                                 # rounding differences only; probe-gated
+                                 # like fused_conv
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -578,7 +610,9 @@ class VGG16BN(nn.Module):
                 j += 1
                 continue
             v = int(v)
-            conv = _ConvFold(v, dtype=self.dtype, name=f"features_{idx}")
+            conv = _ConvFold(v, dtype=self.dtype,
+                             winograd=self.winograd and idx in _WG_SITES,
+                             name=f"features_{idx}")
             bn_mod = bn(idx + 1)
             pre_pool = j + 1 < len(cfg) and cfg[j + 1] == "M"
             h_in = (pending[0] if pending is not None else x).shape[1]
@@ -665,6 +699,7 @@ class ImageEncoder(nn.Module):
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
     fused_conv: bool = False
+    winograd: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -672,6 +707,7 @@ class ImageEncoder(nn.Module):
             return VGG16BN(axis_name=self.axis_name, dtype=self.dtype,
                            precise_stats=self.precise_stats,
                            fused_conv=self.fused_conv,
+                           winograd=self.winograd,
                            name="encoder")(x, train)
         if self.backbone == "tiny":
             return TinyImageEncoder(axis_name=self.axis_name, name="encoder")(

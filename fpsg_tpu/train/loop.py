@@ -60,6 +60,7 @@ def build_model(conf: FPSGConfig, axis_name: Optional[str] = None):
         aggregate=conf.aggregate,
         precise_stats=conf.precise_stats,
         fused_conv=conf.fused_conv,
+        winograd=conf.winograd,
         axis_name=axis_name,
     )
 
