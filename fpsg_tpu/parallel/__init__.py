@@ -11,6 +11,8 @@ equivalents defined here are:
   cluster axis; encoders stay replicated.
 - cross-replica BatchNorm (``axis_name`` pmean) is available in every
   module for synced-stats mode.
+- **point-axis sharding (sp)**: clouds larger than one chip — ring
+  chamfer + point-sharded encoding (:mod:`fpsg_tpu.parallel.sp`).
 """
 
 from fpsg_tpu.parallel.mesh import (
@@ -21,6 +23,11 @@ from fpsg_tpu.parallel.mesh import (
     param_sharding_rules,
     fsdp_state_sharding,
 )
+from fpsg_tpu.parallel.sp import (
+    chamfer_distance_sp,
+    ring_chamfer,
+    ring_nn_sq,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,4 +36,7 @@ __all__ = [
     "replicate",
     "param_sharding_rules",
     "fsdp_state_sharding",
+    "chamfer_distance_sp",
+    "ring_chamfer",
+    "ring_nn_sq",
 ]
