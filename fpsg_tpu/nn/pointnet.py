@@ -66,9 +66,36 @@ def _dense_fold(features: int, fan_in: int, name: str, dtype=None):
 _FORCE_MOMENTS_KERNEL = False
 
 
-def _bn_maxpool(y, b, bn_mod, train, relu, out_dtype):
+
+def _with_point_axis(axis_name, point_axis_name):
+    """BN stat axis for POINT-dim BatchNorms (inputs (B, N, F)): the
+    sharded points axis is one of their reduce axes, so its mesh axis
+    joins the stat psum. Post-pool (B, F) BNs must NOT get it — their
+    inputs are replicated across 'sp' and psum'ing identical moments is
+    harmless for the mean/var but inflates the sample count n, skewing
+    the unbiased running-var correction (n/(n-1)) — caught by the x64
+    exactness test."""
+    if point_axis_name is None:
+        return axis_name
+    if axis_name is None:
+        return point_axis_name
+    ta = axis_name if isinstance(axis_name, tuple) else (axis_name,)
+    tb = (point_axis_name if isinstance(point_axis_name, tuple)
+          else (point_axis_name,))
+    return ta + tuple(a for a in tb if a not in ta)
+
+
+def _bn_maxpool(y, b, bn_mod, train, relu, out_dtype,
+                point_axis_name=None):
     """BatchNorm(+optional relu) then global max over the points axis,
     with the per-channel affine COMMUTED through the max.
+
+    ``point_axis_name``: mesh axis the POINT dimension is sharded over
+    (parallel/sp.py) — the local max/min become ring-free ``pmax`` /
+    ``pmin`` collectives before the affine selection. The caller passes
+    a bn_mod whose ``axis_name`` already includes this axis
+    (``_with_point_axis``): the points axis is a BN reduce axis, so the
+    psum of local moments IS the global statistic.
 
     For a fixed channel, ``t -> k*t + b`` is monotone (k > 0) or
     antitone (k < 0), and relu/casts are monotone, so
@@ -113,6 +140,12 @@ def _bn_maxpool(y, b, bn_mod, train, relu, out_dtype):
         k2, b2 = k[0, 0], beff[0, 0]                    # (F,)
         ymax = jnp.max(y.astype(jnp.float32), axis=1)   # (B, F)
         ymin = jnp.min(y.astype(jnp.float32), axis=1)
+    if point_axis_name is not None:
+        # all_gather + max rather than lax.pmax: pmax has no JAX
+        # differentiation rule; the gathered (sp, B, F) stack is tiny
+        # and its max routes cotangents like the local jnp.max does.
+        ymax = jnp.max(jax.lax.all_gather(ymax, point_axis_name), axis=0)
+        ymin = jnp.min(jax.lax.all_gather(ymin, point_axis_name), axis=0)
     od = out_dtype or y.dtype
     cd = od if od == jnp.bfloat16 else k2.dtype
     sel = jnp.where(k2 > 0, ymax, ymin).astype(cd)
@@ -128,23 +161,27 @@ class STN3d(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
+    point_axis_name: Optional[str] = None  # sp mesh axis (parallel/sp.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         # x: (B, N, 3)
         dt = self.dtype
-        bnr = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
-                                     two_pass=self.precise_stats,
-                                     activation="relu", name=name)
+        pax = _with_point_axis(self.axis_name, self.point_axis_name)
+        mk = lambda ax: lambda name: BatchNorm(
+            axis_name=ax, dtype=dt, two_pass=self.precise_stats,
+            activation="relu", name=name)
+        bnr_pt, bnr = mk(pax), mk(self.axis_name)
 
-        def block(h, feats, fan_in, conv, bnn):
+        def block(h, feats, fan_in, conv, bnn, pt=False):
             y, b = _dense_fold(feats, fan_in, conv, dt)(h)
-            return bnr(bnn)(y, not train, shift=b)
+            return (bnr_pt if pt else bnr)(bnn)(y, not train, shift=b)
 
-        h = block(x, 64, 3, "conv1", "bn1")
-        h = block(h, 128, 64, "conv2", "bn2")
+        h = block(x, 64, 3, "conv1", "bn1", pt=True)
+        h = block(h, 128, 64, "conv2", "bn2", pt=True)
         y, b = _dense_fold(1024, 128, "conv3", dt)(h)
-        h = _bn_maxpool(y, b, bnr("bn3"), train, True, dt)      # (B, 1024)
+        h = _bn_maxpool(y, b, bnr_pt("bn3"), train, True, dt,
+                        self.point_axis_name)                   # (B, 1024)
         h = block(h, 512, 1024, "fc1", "bn4")
         h = block(h, 256, 512, "fc2", "bn5")
         h = _dense(9, 256, "fc3", dt)(h).astype(jnp.float32)
@@ -158,21 +195,25 @@ class STNkd(nn.Module):
     k: int = 64
     axis_name: Optional[str] = None
     precise_stats: bool = False
+    point_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        bnr = lambda name: BatchNorm(axis_name=self.axis_name,
-                                     two_pass=self.precise_stats,
-                                     activation="relu", name=name)
+        pax = _with_point_axis(self.axis_name, self.point_axis_name)
+        mk = lambda ax: lambda name: BatchNorm(
+            axis_name=ax, two_pass=self.precise_stats,
+            activation="relu", name=name)
+        bnr_pt, bnr = mk(pax), mk(self.axis_name)
 
-        def block(h, feats, fan_in, conv, bnn):
+        def block(h, feats, fan_in, conv, bnn, pt=False):
             y, b = _dense_fold(feats, fan_in, conv)(h)
-            return bnr(bnn)(y, not train, shift=b)
+            return (bnr_pt if pt else bnr)(bnn)(y, not train, shift=b)
 
-        h = block(x, 64, self.k, "conv1", "bn1")
-        h = block(h, 128, 64, "conv2", "bn2")
+        h = block(x, 64, self.k, "conv1", "bn1", pt=True)
+        h = block(h, 128, 64, "conv2", "bn2", pt=True)
         y, b = _dense_fold(1024, 128, "conv3")(h)
-        h = _bn_maxpool(y, b, bnr("bn3"), train, True, None)
+        h = _bn_maxpool(y, b, bnr_pt("bn3"), train, True, None,
+                        self.point_axis_name)
         h = block(h, 512, 1024, "fc1", "bn4")
         h = block(h, 256, 512, "fc2", "bn5")
         h = _dense(self.k * self.k, 256, "fc3")(h)
@@ -192,19 +233,25 @@ class PointNetFeat(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
+    point_axis_name: Optional[str] = None  # sp mesh axis: joined into
+                                           # the point-dim BNs' stat psum
+                                           # automatically
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool):
         # x: (B, N, 3)
         n_pts = x.shape[1]
         dt = self.dtype
-        bn = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+        pax = _with_point_axis(self.axis_name, self.point_axis_name)
+        bn = lambda name: BatchNorm(axis_name=pax, dtype=dt,
                                     two_pass=self.precise_stats, name=name)
-        bnr = lambda name: BatchNorm(axis_name=self.axis_name, dtype=dt,
+        bnr = lambda name: BatchNorm(axis_name=pax, dtype=dt,
                                      two_pass=self.precise_stats,
                                      activation="relu", name=name)
         trans = STN3d(axis_name=self.axis_name, dtype=dt,
-                      precise_stats=self.precise_stats, name="stn")(x, train)
+                      precise_stats=self.precise_stats,
+                      point_axis_name=self.point_axis_name,
+                      name="stn")(x, train)
         x = jnp.einsum("bnd,bde->bne", x.astype(jnp.float32), trans)
         y, b = _dense_fold(64, 3, "conv1", dt)(x)
         x = bnr("bn1")(y, not train, shift=b)
@@ -212,6 +259,7 @@ class PointNetFeat(nn.Module):
         if self.feature_transform:
             trans_feat = STNkd(k=64, axis_name=self.axis_name,
                                precise_stats=self.precise_stats,
+                               point_axis_name=self.point_axis_name,
                                name="fstn")(
                 x.astype(jnp.float32), train
             )
@@ -225,7 +273,8 @@ class PointNetFeat(nn.Module):
         y, b = _dense_fold(128, 64, "conv2", dt)(x)
         x = bnr("bn2")(y, not train, shift=b)
         y, b = _dense_fold(1024, 128, "conv3", dt)(x)
-        x = _bn_maxpool(y, b, bn("bn3"), train, False, dt).astype(
+        x = _bn_maxpool(y, b, bn("bn3"), train, False, dt,
+                        self.point_axis_name).astype(
             jnp.float32)                                       # (B, 1024)
         if self.global_feat:
             return x, trans, trans_feat
@@ -245,12 +294,14 @@ class PointNetEncoder(nn.Module):
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
+    point_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         feat, _, _ = PointNetFeat(
             axis_name=self.axis_name, dtype=self.dtype,
             precise_stats=self.precise_stats,
+            point_axis_name=self.point_axis_name,
             name="pointnet_feat_extractor",
         )(x, train)
         return feat

@@ -96,3 +96,138 @@ def test_composes_with_dp_axis():
     ref = chamfer_distance(x, y, impl="oracle")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-7)
+
+
+def _shard_encoder(model, variables, x, mesh):
+    from jax.experimental.shard_map import shard_map
+
+    def fwd(v, x_loc):
+        out, mut = model.apply(v, x_loc, True, mutable=["batch_stats"])
+        return out, mut
+
+    return shard_map(
+        fwd, mesh=mesh,
+        in_specs=(P(), P(None, "sp", None)),
+        out_specs=(P(), P()), check_rep=False,
+    )(variables, x)
+
+
+_X64_WORKER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+from fpsg_tpu.nn.pointnet import PointNetFeat
+
+devs = jax.devices()
+mesh = Mesh(np.array(devs[:8]), ("sp",))
+rng = np.random.default_rng(5)
+x = jnp.asarray(rng.standard_normal((4, 256, 3)), jnp.float64)
+
+for ft in (False, True):
+    ref_m = PointNetFeat(feature_transform=ft)
+    sp_m = PointNetFeat(feature_transform=ft, point_axis_name="sp")
+    v = ref_m.init(jax.random.PRNGKey(0), x, True)
+    v = jax.tree.map(lambda a: a.astype(jnp.float64), v)
+
+    (ref, _, _), ref_mut = ref_m.apply(v, x, True, mutable=["batch_stats"])
+
+    def fwd(v, xl):
+        (out, _, _), mut = sp_m.apply(v, xl, True, mutable=["batch_stats"])
+        return out, mut
+
+    got, got_mut = shard_map(
+        fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
+        out_specs=(P(), P()), check_rep=False)(v, x)
+    d = float(jnp.max(jnp.abs(got - ref)))
+    assert d < 1e-10, (ft, d)
+    for a, b in zip(jax.tree.leaves(ref_mut), jax.tree.leaves(got_mut)):
+        ds = float(jnp.max(jnp.abs(a - b)))
+        assert ds < 1e-10, (ft, ds)
+
+    # param grads
+    params, bs = v["params"], v["batch_stats"]
+
+    def loss_ref(p):
+        (out, _, _), _ = ref_m.apply({"params": p, "batch_stats": bs}, x,
+                                     True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    def loss_sp(p):
+        out, _ = shard_map(
+            fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
+            out_specs=(P(), P()), check_rep=False)(
+                {"params": p, "batch_stats": bs}, x)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_sp = jax.grad(loss_sp)(params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-12)
+        dg = float(jnp.max(jnp.abs(a - b)))
+        # 1e-5*scale: the psum-tree reassociation's f64 rounding
+        # amplifies to ~1e-6 RELATIVE through the BN-chain backward
+        # (measured; plain jit-vs-eager of the unsharded model is
+        # ~1e-13, and a finite-difference probe confirms both losses
+        # are numerically identical — the grad map is just
+        # ill-conditioned there). The semantic bug class this test
+        # catches (running-var n inflation) shows at 1e-2 relative.
+        assert dg < 1e-5 * scale + 1e-9, (ft, dg, scale)
+print("SP_X64_OK")
+"""
+
+
+@pytest.mark.slow
+def test_pointnet_sp_exact_in_x64():
+    """Semantic equivalence witness: in f64 the point-sharded PointNet
+    (fwd, running stats, param grads) is EXACTLY the unsharded model —
+    the BN-moment psums and pool pmax reorder only f32 rounding. Runs
+    in a subprocess because jax_enable_x64 is process-global."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    out = subprocess.run([sys.executable, "-c", _X64_WORKER], env=env,
+                         cwd=repo, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SP_X64_OK" in out.stdout
+
+
+@pytest.mark.parametrize("feature_transform", [False, True])
+def test_pointnet_sp_matches_unsharded(feature_transform):
+    """f32 smoke of the same equivalence. Tolerance note: the sharded
+    program reorders the BN-moment summations (psum trees), and f32
+    rounding differences amplify through the normalization chain —
+    measured 0.004/0.026 max drift here vs 1e-4/4e-4 for plain
+    jit-vs-eager of the UNSHARDED model (same noise class, PARITY.md
+    round-2 notes). The x64 subprocess test above is the exactness
+    witness; this one pins that the f32 path runs and stays in that
+    noise band."""
+    from fpsg_tpu.nn.pointnet import PointNetFeat
+
+    mesh = _mesh()
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((8, 256, 3)), jnp.float32)
+
+    ref_m = PointNetFeat(feature_transform=feature_transform)
+    sp_m = PointNetFeat(feature_transform=feature_transform,
+                        point_axis_name="sp")
+    variables = ref_m.init(jax.random.PRNGKey(0), x, True)
+    (ref, _, _), ref_mut = ref_m.apply(variables, x, True,
+                                       mutable=["batch_stats"])
+    (got, _, _), got_mut = _shard_encoder(sp_m, variables, x, mesh)
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert float(np.abs(np.asarray(got) - np.asarray(ref)).max()) \
+        <= 0.05 * scale
+    for a, b in zip(jax.tree.leaves(ref_mut), jax.tree.leaves(got_mut)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
