@@ -13,6 +13,9 @@ equivalents defined here are:
   module for synced-stats mode.
 - **point-axis sharding (sp)**: clouds larger than one chip — ring
   chamfer + point-sharded encoding (:mod:`fpsg_tpu.parallel.sp`).
+- **pipeline parallelism (pp)**: models deeper than one chip — GPipe
+  microbatch schedule over ``ppermute`` (:mod:`fpsg_tpu.parallel.pp`);
+  a capability axis here (no 'ep' exists: the reference has no MoE).
 """
 
 from fpsg_tpu.parallel.mesh import (
@@ -28,8 +31,18 @@ from fpsg_tpu.parallel.sp import (
     ring_chamfer,
     ring_nn_sq,
 )
+from fpsg_tpu.parallel.pp import (
+    make_pp_mesh,
+    pipeline_repeated,
+    pipeline_stages,
+    stack_stage_params,
+)
 
 __all__ = [
+    "make_pp_mesh",
+    "pipeline_repeated",
+    "pipeline_stages",
+    "stack_stage_params",
     "make_mesh",
     "shard_train_state",
     "shard_episode_batch",
