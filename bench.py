@@ -198,11 +198,32 @@ def main():
         cpu_baseline = measure_baseline(steps=3)
         print(f"# measured torch-CPU baseline: {cpu_baseline:.4f} episodes/s")
 
-    eps = measure_ours(
-        args.episodes_per_step, args.steps, args.warmup,
-        args.compute_dtype, steps_per_call=args.steps_per_call,
-        fused_conv=args.fused_conv, winograd=args.winograd,
-        bf16_moments=args.bf16_moments)
+    # Transient-failure armor: the axon tunnel has been observed to
+    # throw bare `INVALID_ARGUMENT: TPU backend error` on the first
+    # device reads for a few minutes after a tunnel restart (2026-08-19:
+    # two consecutive failing runs, then clean 17.5+ eps with zero repo
+    # changes). The driver runs this file exactly once per round, so
+    # retry — in-process first (dispatches are independent), with a
+    # cool-down before each retry.
+    last_err = None
+    for attempt in range(3):
+        try:
+            eps = measure_ours(
+                args.episodes_per_step, args.steps, args.warmup,
+                args.compute_dtype, steps_per_call=args.steps_per_call,
+                fused_conv=args.fused_conv, winograd=args.winograd,
+                bf16_moments=args.bf16_moments)
+            break
+        except Exception as e:  # noqa: BLE001 — report, cool down, retry
+            last_err = e
+            print(f"# bench attempt {attempt + 1}/3 failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            import jax
+
+            jax.clear_caches()
+            time.sleep(60.0 * (attempt + 1))
+    else:
+        raise last_err
     out = {
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
         "value": round(eps, 3),

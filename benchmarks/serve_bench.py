@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Serving throughput: clouds generated per second (`fpsg_tpu/serve.py`).
+
+The reference has no inference entry point to compare against (its
+generation runs inside the evaluator, one matplotlib dump at a time —
+few_shot.py:179-213); this measures OUR serving surface at production
+shapes on the real chip: a trained-shape flagship model (VGG16-bn +
+PointNet + 4x4 decoder, 224^2 images, 2048-point clouds), batch sizes
+swept, f32 vs bf16 compute.
+
+Run from /root/repo with no PYTHONPATH (CLAUDE.md axon quirks):
+    python benchmarks/serve_bench.py [--batches 1 8 32] [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
+            img: int = 224, warmup: int = 2) -> float:
+    import jax
+
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.serve import Generator
+
+    conf = FPSGConfig(config_path="x", test_path="x",
+                      compute_dtype=dtype)
+    gen = Generator.from_checkpoint(conf, img_size=img)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
+    clouds = rng.standard_normal(
+        (n_support, conf.num_pts, 3)).astype(np.float32) * 0.3
+
+    for _ in range(warmup):
+        out = gen(imgs, clouds)          # __call__ copies to host: sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = gen(imgs, clouds)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all()
+    return batch * steps / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtypes", type=str, nargs="+",
+                    default=["bf16", "f32"])
+    args = ap.parse_args()
+
+    rows = []
+    for dtype in args.dtypes:
+        for b in args.batches:
+            cps = measure(b, dtype, args.steps)
+            rows.append({"batch": b, "dtype": dtype,
+                         "clouds_per_sec": round(cps, 2),
+                         "ms_per_cloud": round(1000.0 / cps, 3)})
+            print(json.dumps(rows[-1]), flush=True)
+    print(json.dumps({"metric": "serve_clouds_per_sec", "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -210,15 +210,31 @@ def _jit_with_default_state_layouts(fn, donate_argnums):
         # device_put is NOT a no-op on matching layouts here (it
         # round-trips the axon tunnel, ~50 ms/state), so the comparison
         # is load-bearing, and passing originals keeps donation intact.
+        relayouted = []
+
         def _relayout(x, f):
             cur = getattr(x, "format", None)
             if (cur is not None and cur.layout is not None
                     and cur.layout.major_to_minor == f.layout.major_to_minor):
                 return x  # the pin only names the dim order, not tiling
-            return jax.device_put(x, f)
+            y = jax.device_put(x, f)
+            relayouted.append(y)
+            return y
 
         if cache["fmt"] is not None:
             state = jax.tree.map(_relayout, state, cache["fmt"])
+            if relayouted:
+                # Load-bearing on axon (observed 2026-08-19): dispatching
+                # the donating step while these relayout copies are still
+                # in flight poisons the OUTPUT's layout metadata — the
+                # next call then either rejects its own predecessor's
+                # output ("Layout passed to jit does not match ... arg
+                # layout (0,3,1,2) T(4,128)") or, if validation races
+                # past, the queued execution dies at the next device read
+                # with a bare INVALID_ARGUMENT. Relayouts only happen on
+                # the first call after init/checkpoint-restore, so this
+                # barrier costs nothing in steady state.
+                jax.block_until_ready(relayouted)
         return cache["jit"](state, corpus, key)
 
     return wrapper

@@ -1,0 +1,113 @@
+"""Serving API (`fpsg_tpu/serve.py`) — the production inference surface.
+
+The reference has no standalone inference entry point (generation is
+buried in its eval/visualization code, few_shot.py:179-213); this
+framework ships one, so it must be tested like any other component:
+shape/dtype contract, uint8 and float input handling, determinism per
+seed, checkpoint round-trip, and one-compile reuse across calls.
+"""
+
+import numpy as np
+import pytest
+
+from fpsg_tpu.config import FPSGConfig
+from fpsg_tpu.serve import Generator
+
+IMG = 32
+NPTS = 64
+
+
+def _conf(**kw):
+    return FPSGConfig(
+        config_path="unused", test_path="unused",
+        num_clusters=2, num_nodes=2, num_pts=NPTS,
+        bottleneck_size=256, n_shot=2, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return Generator.from_checkpoint(_conf(), img_size=IMG)
+
+
+def _inputs(rng, q=2, s=3):
+    imgs = rng.integers(0, 256, (q, IMG, IMG, 3), dtype=np.uint8)
+    clouds = rng.standard_normal((s, NPTS, 3)).astype(np.float32) * 0.3
+    return imgs, clouds
+
+
+def test_generate_shape_dtype_finite(gen, rng):
+    imgs, clouds = _inputs(rng)
+    out = gen(imgs, clouds)
+    assert out.shape == (2, NPTS, 3)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+
+
+def test_single_image_is_batched(gen, rng):
+    imgs, clouds = _inputs(rng, q=1)
+    out = gen(imgs[0], clouds)          # (H, W, 3) — no batch axis
+    assert out.shape == (1, NPTS, 3)
+
+
+def test_uint8_matches_prescaled_float(rng):
+    """uint8 input must go through the reference's [-1, 1] transform
+    (generate_dataset.py normalization) — byte-for-byte the same as
+    handing in the scaled float image."""
+    imgs, clouds = _inputs(rng)
+    g1 = Generator.from_checkpoint(_conf(), img_size=IMG)
+    g2 = Generator.from_checkpoint(_conf(), img_size=IMG)
+    scaled = imgs.astype(np.float32) * (2.0 / 255.0) - 1.0
+    np.testing.assert_array_equal(g1(imgs, clouds), g2(scaled, clouds))
+
+
+def test_same_seed_same_stream(rng):
+    """Two generators with equal seeds produce identical call streams
+    (the template RNG advances identically)."""
+    imgs, clouds = _inputs(rng)
+    g1 = Generator.from_checkpoint(_conf(seed=7), img_size=IMG)
+    g2 = Generator.from_checkpoint(_conf(seed=7), img_size=IMG)
+    np.testing.assert_array_equal(g1(imgs, clouds), g2(imgs, clouds))
+    # second call advances the stream but stays in lockstep
+    np.testing.assert_array_equal(g1(imgs, clouds), g2(imgs, clouds))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    """from_checkpoint(ckpt) serves exactly the trained weights."""
+    from fpsg_tpu.io.checkpoints import save_checkpoint
+    from fpsg_tpu.train.loop import build_model, make_state
+    from fpsg_tpu.train.optim import make_optimizer
+
+    conf = _conf(seed=3)
+    model = build_model(conf)
+    state = make_state(model, conf, make_optimizer(), img_size=IMG)
+    # perturb params so the checkpoint differs from a fresh init
+    import jax
+
+    state = state.replace(
+        params=jax.tree.map(lambda p: p + 0.01, state.params))
+    path = save_checkpoint(str(tmp_path / "ck"), state, use_orbax=False)
+
+    served = Generator.from_checkpoint(conf, checkpoint=path,
+                                       img_size=IMG)
+    direct = Generator(model, {"params": state.params,
+                               "batch_stats": state.batch_stats},
+                       seed=conf.seed)
+    imgs, clouds = _inputs(rng)
+    np.testing.assert_array_equal(served(imgs, clouds),
+                                  direct(imgs, clouds))
+
+    fresh = Generator.from_checkpoint(conf, img_size=IMG)
+    assert np.abs(served(imgs, clouds) - fresh(imgs, clouds)).max() > 0
+
+
+def test_one_executable_across_calls(gen, rng):
+    """Repeated same-shape calls must not retrace/recompile (static
+    shapes are the serving contract — serve.py module docstring)."""
+    imgs, clouds = _inputs(rng)
+    gen(imgs, clouds)
+    misses0 = gen._fn._cache_size()
+    for _ in range(3):
+        imgs2 = np.roll(imgs, 1, axis=0)
+        gen(imgs2, clouds)
+    assert gen._fn._cache_size() == misses0
