@@ -16,13 +16,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
-            img: int = 224, warmup: int = 2) -> float:
+            img: int = 224, warmup: int = 2, proto: bool = False) -> float:
     import jax
 
     from fpsg_tpu.config import FPSGConfig
@@ -35,12 +39,14 @@ def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
     imgs = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
     clouds = rng.standard_normal(
         (n_support, conf.num_pts, 3)).astype(np.float32) * 0.3
+    kw = {"proto": gen.prototype(clouds)} if proto else {}
+    args = () if proto else (clouds,)
 
     for _ in range(warmup):
-        out = gen(imgs, clouds)          # __call__ copies to host: sync
+        out = gen(imgs, *args, **kw)     # __call__ copies to host: sync
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = gen(imgs, clouds)
+        out = gen(imgs, *args, **kw)
     dt = time.perf_counter() - t0
     assert np.isfinite(out).all()
     return batch * steps / dt
@@ -57,11 +63,13 @@ def main():
     rows = []
     for dtype in args.dtypes:
         for b in args.batches:
-            cps = measure(b, dtype, args.steps)
-            rows.append({"batch": b, "dtype": dtype,
-                         "clouds_per_sec": round(cps, 2),
-                         "ms_per_cloud": round(1000.0 / cps, 3)})
-            print(json.dumps(rows[-1]), flush=True)
+            for proto in (False, True):
+                cps = measure(b, dtype, args.steps, proto=proto)
+                rows.append({"batch": b, "dtype": dtype,
+                             "proto_cached": proto,
+                             "clouds_per_sec": round(cps, 2),
+                             "ms_per_cloud": round(1000.0 / cps, 3)})
+                print(json.dumps(rows[-1]), flush=True)
     print(json.dumps({"metric": "serve_clouds_per_sec", "rows": rows}))
 
 

@@ -274,15 +274,28 @@ class ImgPCProtoNet(nn.Module):
             "syn_pc": syn_q,
         }
 
-    def generate(self, sample: Dict[str, jax.Array]) -> jax.Array:
-        """Synthesize query clouds (draw_reconstruction forward path,
-        few_shot.py:179-213): prototype from the SUPPORT set (not ad)."""
-        xq, pcs = sample["xq"], sample["pcs"]
+    def encode_prototype(self, pcs: jax.Array) -> jax.Array:
+        """Class prototype ``(F,)`` from a support cloud set ``(S, N, 3)``
+        (the mean shape embedding of few_shot.py:179-213). Split out of
+        :meth:`generate` so serving can compute it ONCE per class and
+        amortize the PointNet encode across every subsequent query."""
+        pc_z = self.pc_encoder(pcs, False)
+        return jnp.mean(pc_z, axis=0)
+
+    def generate_from_proto(self, xq: jax.Array, proto: jax.Array
+                            ) -> jax.Array:
+        """Synthesize query clouds from a precomputed class prototype
+        (the query-dependent remainder of :meth:`generate`)."""
         n_query = xq.shape[0]
         img_z = self.img_encoder(xq, False)
-        pc_z = self.pc_encoder(pcs, False)
-        proto = jnp.mean(pc_z, axis=0, keepdims=True)
-        proto_mat_q = jnp.broadcast_to(proto, (n_query, proto.shape[-1]))
+        proto_mat_q = jnp.broadcast_to(
+            proto[None], (n_query, proto.shape[-1]))
         return self.pc_decoder(
             jnp.concatenate([img_z, proto_mat_q], axis=1), train=False
         )
+
+    def generate(self, sample: Dict[str, jax.Array]) -> jax.Array:
+        """Synthesize query clouds (draw_reconstruction forward path,
+        few_shot.py:179-213): prototype from the SUPPORT set (not ad)."""
+        proto = self.encode_prototype(sample["pcs"])
+        return self.generate_from_proto(sample["xq"], proto)

@@ -33,14 +33,37 @@ class Generator:
         self.variables = variables
         self._key = jax.random.PRNGKey(seed)
 
+        def _norm(xq):
+            # uint8 images normalize ON DEVICE: the host link carries 1
+            # byte/pixel instead of 4 (the tunnel/PCIe transfer dominates
+            # serving latency — benchmarks/serve_bench.py), and
+            # u8 * 2/255 - 1 in f32 is bitwise the host-side formula
+            # (data/host_pipeline.py does the same for training).
+            if jnp.issubdtype(xq.dtype, jnp.integer):
+                xq = xq.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            return xq
+
         def _generate(variables, xq, pcs, key):
-            sample = {"xq": xq, "pcs": pcs}
+            sample = {"xq": _norm(xq), "pcs": pcs}
             return model.apply(
                 variables, sample, method=model.generate,
                 rngs={"template": key},
             )
 
+        def _proto(variables, pcs):
+            return model.apply(
+                variables, pcs, method=model.encode_prototype)
+
+        def _from_proto(variables, xq, proto, key):
+            return model.apply(
+                variables, _norm(xq), proto,
+                method=model.generate_from_proto,
+                rngs={"template": key},
+            )
+
         self._fn = jax.jit(_generate)
+        self._proto_fn = jax.jit(_proto)
+        self._from_proto_fn = jax.jit(_from_proto)
 
     @classmethod
     def from_checkpoint(
@@ -59,28 +82,54 @@ class Generator:
             seed=conf.seed,
         )
 
+    def prototype(self, support_clouds: np.ndarray) -> jax.Array:
+        """Encode a class support set ``(S, N, 3)`` into its prototype.
+
+        Deployment serves a FIXED per-class support set against a stream
+        of query images; computing the prototype once and passing it to
+        ``__call__(images, proto=...)`` removes the per-call PointNet
+        encode (the support set is typically 32 x 2048 points — far more
+        input work than the query images at small Q). The returned
+        device array is reusable across calls and processes (it's just
+        an ``(F,)`` embedding)."""
+        return self._proto_fn(
+            self.variables, jnp.asarray(support_clouds, jnp.float32))
+
     def __call__(
-        self, images: np.ndarray, support_clouds: np.ndarray
+        self,
+        images: np.ndarray,
+        support_clouds: Optional[np.ndarray] = None,
+        *,
+        proto: Optional[jax.Array] = None,
     ) -> np.ndarray:
         """Generate clouds for query images given a class support set.
 
         Args:
           images: (Q, H, W, 3) uint8 or float in [-1, 1].
           support_clouds: (S, N, 3) float32 unit-ball clouds.
+          proto: precomputed class prototype from :meth:`prototype`
+            (pass INSTEAD of ``support_clouds`` on the hot path).
 
         Returns:
           (Q, num_points, 3) float32.
         """
+        if (support_clouds is None) == (proto is None):
+            raise ValueError(
+                "pass exactly one of support_clouds or proto")
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) * (2.0 / 255.0) - 1.0
         self._key, sub = jax.random.split(self._key)
-        out = self._fn(
-            self.variables,
-            jnp.asarray(images, jnp.float32),
-            jnp.asarray(support_clouds, jnp.float32),
-            sub,
-        )
+        # uint8 ships as uint8 (normalized on device — see _norm above);
+        # float input is assumed already in [-1, 1].
+        xq = jnp.asarray(
+            images,
+            images.dtype if images.dtype == np.uint8 else np.float32)
+        if proto is not None:
+            out = self._from_proto_fn(self.variables, xq, proto, sub)
+        else:
+            out = self._fn(
+                self.variables, xq,
+                jnp.asarray(support_clouds, jnp.float32), sub,
+            )
         return np.asarray(out)
