@@ -52,13 +52,55 @@ def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
     return batch * steps / dt
 
 
+def measure_stream(batch: int, dtype: str, steps: int,
+                   n_support: int = 32, img: int = 224,
+                   warmup: int = 2) -> float:
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.serve import Generator
+
+    conf = FPSGConfig(config_path="x", test_path="x",
+                      compute_dtype=dtype)
+    gen = Generator.from_checkpoint(conf, img_size=img)
+    rng = np.random.default_rng(0)
+    clouds = rng.standard_normal(
+        (n_support, conf.num_pts, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    imgs = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
+
+    for out in gen.stream(iter([imgs] * warmup), proto=proto):
+        pass                            # compile + warm
+    t0 = time.perf_counter()
+    n = 0
+    for out in gen.stream(iter([imgs] * steps), proto=proto):
+        n += out.shape[0]
+    dt = time.perf_counter() - t0
+    assert np.isfinite(out).all() and n == batch * steps
+    return n / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--dtypes", type=str, nargs="+",
                     default=["bf16", "f32"])
+    ap.add_argument("--stream", action="store_true",
+                    help="measure the pipelined Generator.stream path "
+                         "instead of per-call serving")
     args = ap.parse_args()
+
+    if args.stream:
+        rows = []
+        for dtype in args.dtypes:
+            for b in args.batches:
+                cps = measure_stream(b, dtype, args.steps)
+                rows.append({"batch": b, "dtype": dtype, "stream": True,
+                             "clouds_per_sec": round(cps, 2),
+                             "ms_per_cloud": round(1000.0 / cps, 3)})
+                print(json.dumps(rows[-1]), flush=True)
+        print(json.dumps({"metric": "serve_stream_clouds_per_sec",
+                          "rows": rows}))
+        return
 
     rows = []
     for dtype in args.dtypes:

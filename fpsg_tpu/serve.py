@@ -82,6 +82,60 @@ class Generator:
             seed=conf.seed,
         )
 
+    def stream(self, images_iter, *, proto, buffer: int = 2):
+        """Pipelined throughput serving: generate clouds for a stream of
+        same-shape image batches, overlapping host→device transfer,
+        compute, and device→host readback across batches.
+
+        One-at-a-time ``__call__`` serializes upload → compute →
+        download every call, so a transfer-bound link (PCIe, or the
+        dev tunnel) idles the chip; here a feeder thread uploads batch
+        k+1 while batch k computes and batch k-1 reads back (the same
+        double-buffering as the training host pipeline,
+        `data/host_pipeline.py`). Yields one ``(Q, num_points, 3)``
+        float32 array per input batch, in order; results are identical
+        to per-call ``__call__(images, proto=proto)`` with the same
+        seed (the RNG advances once per batch either way).
+
+        Args:
+          images_iter: iterable of (Q, H, W, 3) uint8/float batches —
+            same shape throughout (one compiled executable).
+          proto: class prototype from :meth:`prototype` (required: the
+            hot path serves a fixed support set).
+          buffer: feeder queue depth (in-flight uploads).
+        """
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, buffer))
+        stop = object()
+
+        def feeder():
+            for images in images_iter:
+                images = np.asarray(images)
+                if images.ndim == 3:
+                    images = images[None]
+                xq = jnp.asarray(
+                    images,
+                    images.dtype if images.dtype == np.uint8
+                    else np.float32)
+                q.put(xq)
+            q.put(stop)
+
+        threading.Thread(target=feeder, daemon=True).start()
+        pending = None
+        while True:
+            xq = q.get()
+            if xq is stop:
+                break
+            self._key, sub = jax.random.split(self._key)
+            out = self._from_proto_fn(self.variables, xq, proto, sub)
+            if pending is not None:
+                yield np.asarray(pending)   # previous batch: D2H while
+            pending = out                   # this batch computes
+        if pending is not None:
+            yield np.asarray(pending)
+
     def prototype(self, support_clouds: np.ndarray) -> jax.Array:
         """Encode a class support set ``(S, N, 3)`` into its prototype.
 

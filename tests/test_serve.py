@@ -130,6 +130,22 @@ def test_exactly_one_support_arg(gen, rng):
         gen(imgs, clouds, proto=gen.prototype(clouds))
 
 
+def test_stream_matches_per_call(rng):
+    """stream() must yield, in order, exactly what per-call __call__
+    produces with the same seed (the RNG advances once per batch in
+    both paths); pipelining may not reorder or change results."""
+    clouds = rng.standard_normal((3, NPTS, 3)).astype(np.float32) * 0.3
+    batches = [rng.integers(0, 256, (2, IMG, IMG, 3), dtype=np.uint8)
+               for _ in range(5)]
+    g1 = Generator.from_checkpoint(_conf(seed=9), img_size=IMG)
+    g2 = Generator.from_checkpoint(_conf(seed=9), img_size=IMG)
+    proto = g1.prototype(clouds)
+    streamed = list(g1.stream(iter(batches), proto=proto))
+    assert len(streamed) == len(batches)
+    for got, b in zip(streamed, batches):
+        np.testing.assert_array_equal(got, g2(b, proto=g2.prototype(clouds)))
+
+
 def test_one_executable_across_calls(gen, rng):
     """Repeated same-shape calls must not retrace/recompile (static
     shapes are the serving contract — serve.py module docstring)."""
