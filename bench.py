@@ -218,10 +218,11 @@ def main():
             last_err = e
             print(f"# bench attempt {attempt + 1}/3 failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
-            import jax
+            if attempt < 2:  # no pointless cool-down after the last try
+                import jax
 
-            jax.clear_caches()
-            time.sleep(60.0 * (attempt + 1))
+                jax.clear_caches()
+                time.sleep(60.0 * (attempt + 1))
     else:
         raise last_err
     out = {

@@ -89,8 +89,14 @@ class DeviceCorpus:
         return int(np.asarray(self.counts).sum())
 
 
-def _normalize_images(img_u8: jax.Array) -> jax.Array:
-    """ToTensor + Normalize((.5,)*3, (.5,)*3): uint8 → [-1, 1] f32."""
+def normalize_images(img_u8: jax.Array) -> jax.Array:
+    """ToTensor + Normalize((.5,)*3, (.5,)*3): uint8 → [-1, 1] f32.
+
+    THE canonical device-side image transform (generate_dataset.py
+    normalization) — training sampling, the host pipeline's on-device
+    leg, and serving all call this one definition so they cannot
+    drift.
+    """
     return img_u8.astype(jnp.float32) * (2.0 / 255.0) - 1.0
 
 
@@ -146,8 +152,8 @@ def sample_episode_batch(
 
         imgs_c = corpus.images[cls]
         pcs_c = corpus.clouds[cls]
-        xs = _normalize_images(imgs_c[sup_idx])
-        xq = _normalize_images(imgs_c[qry_idx])
+        xs = normalize_images(imgs_c[sup_idx])
+        xq = normalize_images(imgs_c[qry_idx])
         pcs = pcs_c[sup_idx]
         pcq = pcs_c[qry_idx]
 
@@ -157,7 +163,7 @@ def sample_episode_batch(
         pri = jnp.where(valid, pri, -jnp.inf)
         _, flat_idx = jax.lax.top_k(pri.reshape(-1), n_support)
         ad_cls, ad_item = flat_idx // m, flat_idx % m
-        xad = _normalize_images(corpus.images[ad_cls, ad_item])
+        xad = normalize_images(corpus.images[ad_cls, ad_item])
         pcad = corpus.clouds[ad_cls, ad_item]
 
         return {
@@ -209,9 +215,9 @@ def sequential_episode(
 
     return {
         "cls": jnp.asarray(cls, jnp.int32),
-        "xs": _normalize_images(imgs_c[sup_idx]),
-        "xq": _normalize_images(imgs_c[item][None]),
-        "xad": _normalize_images(corpus.images[ad_cls, ad_item]),
+        "xs": normalize_images(imgs_c[sup_idx]),
+        "xq": normalize_images(imgs_c[item][None]),
+        "xad": normalize_images(corpus.images[ad_cls, ad_item]),
         "pcs": pcs_c[sup_idx],
         "pcq": pcs_c[item][None],
         "pcad": corpus.clouds[ad_cls, ad_item],

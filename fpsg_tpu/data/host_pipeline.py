@@ -160,10 +160,12 @@ def make_host_train_step(model, tx, donate: bool = True):
     def train_step(state: TrainState, batch, key):
         e = batch["cls"].shape[0]
         keys = jax.random.split(key, e)
+        from fpsg_tpu.data.corpus import normalize_images
+
         sample = {
-            # device-side normalize of uint8 images (same u8*2/255-1
-            # formula as the host path — bitwise-identical f32)
-            k: (v.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+            # device-side normalize of uint8 images (the canonical
+            # transform shared with sampling and serving)
+            k: (normalize_images(v)
                 if jnp.issubdtype(v.dtype, jnp.integer) else v)
             for k, v in batch.items() if k != "cls"
         }

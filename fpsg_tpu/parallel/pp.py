@@ -132,12 +132,28 @@ def pipeline_repeated(stage_fn: Callable, mesh: Mesh, n_micro: int,
 
     body = functools.partial(_gpipe_local_repeated, stage_fn, remat,
                              n_micro, axis_name)
-    return shard_map(
+    sharded = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(),
         check_rep=False,
     )
+
+    def run(stacked_params, x):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                stacked_params)[0]:
+            # A divisible-but-wrong stage count would SILENTLY compute
+            # with every (shape[0]//s)-th stage (each device's local
+            # slice is taken at index 0) — fail loudly instead.
+            if leaf.shape[0] != s:
+                raise ValueError(
+                    f"pipeline_repeated: stacked param "
+                    f"{jax.tree_util.keystr(path)} has stage axis "
+                    f"{leaf.shape[0]} but the '{axis_name}' mesh axis "
+                    f"is {s}")
+        return sharded(stacked_params, x)
+
+    return run
 
 
 # ---------------------------------------------------------------------------

@@ -36,11 +36,13 @@ class Generator:
         def _norm(xq):
             # uint8 images normalize ON DEVICE: the host link carries 1
             # byte/pixel instead of 4 (the tunnel/PCIe transfer dominates
-            # serving latency — benchmarks/serve_bench.py), and
-            # u8 * 2/255 - 1 in f32 is bitwise the host-side formula
-            # (data/host_pipeline.py does the same for training).
+            # serving latency — benchmarks/serve_bench.py). One shared
+            # definition with training (data/corpus.py) so the transform
+            # cannot drift between the two.
             if jnp.issubdtype(xq.dtype, jnp.integer):
-                xq = xq.astype(jnp.float32) * (2.0 / 255.0) - 1.0
+                from fpsg_tpu.data.corpus import normalize_images
+
+                xq = normalize_images(xq)
             return xq
 
         def _generate(variables, xq, pcs, key):
@@ -108,33 +110,60 @@ class Generator:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, buffer))
-        stop = object()
+        cancel = threading.Event()
 
         def feeder():
-            for images in images_iter:
-                images = np.asarray(images)
-                if images.ndim == 3:
-                    images = images[None]
-                xq = jnp.asarray(
-                    images,
-                    images.dtype if images.dtype == np.uint8
-                    else np.float32)
-                q.put(xq)
-            q.put(stop)
+            # Always terminate the queue — with the upstream exception if
+            # the iterator (or conversion) raises, else a clean stop —
+            # so the consumer can never block forever on q.get(). On
+            # consumer cancellation (early break / close), bounded puts
+            # keep this thread from leaking on a full queue.
+            def put(item):
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=1.0)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
+            try:
+                for images in images_iter:
+                    images = np.asarray(images)
+                    if images.ndim == 3:
+                        images = images[None]
+                    if np.issubdtype(images.dtype, np.integer):
+                        images = images.astype(np.uint8)
+                    xq = jnp.asarray(
+                        images,
+                        images.dtype if images.dtype == np.uint8
+                        else np.float32)
+                    if not put(("item", xq)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                put(("raise", e))
+                return
+            put(("stop", None))
 
         threading.Thread(target=feeder, daemon=True).start()
         pending = None
-        while True:
-            xq = q.get()
-            if xq is stop:
-                break
-            self._key, sub = jax.random.split(self._key)
-            out = self._from_proto_fn(self.variables, xq, proto, sub)
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "stop":
+                    break
+                if kind == "raise":
+                    raise payload
+                self._key, sub = jax.random.split(self._key)
+                out = self._from_proto_fn(
+                    self.variables, payload, proto, sub)
+                if pending is not None:
+                    yield np.asarray(pending)  # previous batch: D2H
+                pending = out                  # while this one computes
             if pending is not None:
-                yield np.asarray(pending)   # previous batch: D2H while
-            pending = out                   # this batch computes
-        if pending is not None:
-            yield np.asarray(pending)
+                yield np.asarray(pending)
+        finally:
+            cancel.set()
 
     def prototype(self, support_clouds: np.ndarray) -> jax.Array:
         """Encode a class support set ``(S, N, 3)`` into its prototype.
@@ -173,6 +202,12 @@ class Generator:
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
+        if np.issubdtype(images.dtype, np.integer):
+            # ANY integer dtype means raw pixel bytes (int32/int64 are
+            # common out of image-decode code) — narrow to uint8 so the
+            # device-side normalize applies; without this, 0-255 values
+            # would reach the model as if already in [-1, 1].
+            images = images.astype(np.uint8)
         self._key, sub = jax.random.split(self._key)
         # uint8 ships as uint8 (normalized on device — see _norm above);
         # float input is assumed already in [-1, 1].

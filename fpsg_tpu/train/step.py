@@ -233,8 +233,11 @@ def _jit_with_default_state_layouts(fn, donate_argnums):
                 # past, the queued execution dies at the next device read
                 # with a bare INVALID_ARGUMENT. Relayouts only happen on
                 # the first call after init/checkpoint-restore, so this
-                # barrier costs nothing in steady state.
-                jax.block_until_ready(relayouted)
+                # barrier costs nothing in steady state. A device→host
+                # read (one element per leaf), NOT block_until_ready:
+                # axon's ready events are unreliable (CLAUDE.md quirks —
+                # block_until_ready does not force sync there).
+                jax.device_get([r.ravel()[0] for r in relayouted])
         return cache["jit"](state, corpus, key)
 
     return wrapper

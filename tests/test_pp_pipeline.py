@@ -176,6 +176,18 @@ def test_heterogeneous_stages_conv_pool_dense(mesh):
                                rtol=3e-5, atol=3e-6)
 
 
+def test_repeated_rejects_wrong_stage_count(mesh):
+    """8 stacked stages on a 4-device pp mesh must raise, not silently
+    compute with every 2nd stage (P('pp') would shard 2-per-device and
+    the local slice takes index 0)."""
+    params_list = _make_params(jax.random.PRNGKey(20), 2 * S)
+    stacked = stack_stage_params(params_list)
+    x = jax.random.normal(jax.random.PRNGKey(21), (M, B, D))
+    run = pipeline_repeated(_stage, mesh, n_micro=M)
+    with pytest.raises(ValueError, match="stage axis"):
+        run(stacked, x)
+
+
 def test_bubble_edge_fewer_microbatches_than_stages(mesh):
     """M < S: the schedule is mostly bubble but the outputs (and the
     n_micro=1 degenerate case) must still be exact."""

@@ -146,6 +146,50 @@ def test_stream_matches_per_call(rng):
         np.testing.assert_array_equal(got, g2(b, proto=g2.prototype(clouds)))
 
 
+def test_int_images_are_pixel_bytes(rng):
+    """int32/int64 pixel arrays (common out of decode/augment code)
+    must normalize exactly like uint8, not slip through as floats."""
+    imgs, clouds = _inputs(rng)
+    g1 = Generator.from_checkpoint(_conf(seed=11), img_size=IMG)
+    g2 = Generator.from_checkpoint(_conf(seed=11), img_size=IMG)
+    np.testing.assert_array_equal(
+        g1(imgs.astype(np.int32), clouds), g2(imgs, clouds))
+
+
+def test_stream_propagates_iterator_error(rng):
+    """A raising input iterator must surface the exception (previously:
+    the feeder died silently and the consumer blocked forever)."""
+    clouds = rng.standard_normal((2, NPTS, 3)).astype(np.float32) * 0.3
+    g = Generator.from_checkpoint(_conf(), img_size=IMG)
+    proto = g.prototype(clouds)
+
+    def bad_iter():
+        yield rng.integers(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
+        raise RuntimeError("decode failed")
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for out in g.stream(bad_iter(), proto=proto):
+            got.append(out)
+    # consumer terminated (no deadlock) — the batch before the error
+    # may be lost to the one-batch readback lag, by design.
+    assert len(got) <= 1
+
+
+def test_stream_early_break_does_not_deadlock(rng):
+    """Breaking out of the stream must cancel the feeder thread (it
+    would otherwise block forever on a full queue)."""
+    clouds = rng.standard_normal((2, NPTS, 3)).astype(np.float32) * 0.3
+    g = Generator.from_checkpoint(_conf(), img_size=IMG)
+    proto = g.prototype(clouds)
+    imgs = rng.integers(0, 256, (1, IMG, IMG, 3), dtype=np.uint8)
+    s = g.stream(iter([imgs] * 50), proto=proto)
+    next(s)
+    s.close()   # GeneratorExit → finally → cancel.set()
+    # a fresh stream on the same generator still works end-to-end
+    assert len(list(g.stream(iter([imgs] * 2), proto=proto))) == 2
+
+
 def test_one_executable_across_calls(gen, rng):
     """Repeated same-shape calls must not retrace/recompile (static
     shapes are the serving contract — serve.py module docstring)."""
