@@ -25,12 +25,20 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _cache():
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
+
 def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
             img: int = 224, warmup: int = 2, proto: bool = False) -> float:
     import jax
 
     from fpsg_tpu.config import FPSGConfig
     from fpsg_tpu.serve import Generator
+
+    _cache()
 
     conf = FPSGConfig(config_path="x", test_path="x",
                       compute_dtype=dtype)
@@ -52,11 +60,50 @@ def measure(batch: int, dtype: str, steps: int, n_support: int = 32,
     return batch * steps / dt
 
 
+def measure_latency(batch: int, dtype: str, steps: int,
+                    n_support: int = 32, img: int = 224,
+                    warmup: int = 3) -> dict:
+    """Per-call latency percentiles (proto hot path) — the number an
+    online deployment actually budgets against, where throughput rows
+    hide the tail."""
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.serve import Generator
+
+    _cache()
+    conf = FPSGConfig(config_path="x", test_path="x",
+                      compute_dtype=dtype)
+    gen = Generator.from_checkpoint(conf, img_size=img)
+    rng = np.random.default_rng(0)
+    clouds = rng.standard_normal(
+        (n_support, conf.num_pts, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    imgs = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
+
+    for _ in range(warmup):
+        gen(imgs, proto=proto)
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = gen(imgs, proto=proto)
+        times.append((time.perf_counter() - t0) * 1000.0)
+    assert np.isfinite(out).all()
+    t = np.sort(np.asarray(times))
+
+    def pct(p):
+        return round(float(np.percentile(t, p)), 2)
+
+    return {"batch": batch, "dtype": dtype, "n": steps,
+            "p50_ms": pct(50), "p90_ms": pct(90), "p99_ms": pct(99),
+            "max_ms": round(float(t[-1]), 2)}
+
+
 def measure_stream(batch: int, dtype: str, steps: int,
                    n_support: int = 32, img: int = 224,
                    warmup: int = 2) -> float:
     from fpsg_tpu.config import FPSGConfig
     from fpsg_tpu.serve import Generator
+
+    _cache()
 
     conf = FPSGConfig(config_path="x", test_path="x",
                       compute_dtype=dtype)
@@ -87,7 +134,18 @@ def main():
     ap.add_argument("--stream", action="store_true",
                     help="measure the pipelined Generator.stream path "
                          "instead of per-call serving")
+    ap.add_argument("--latency", action="store_true",
+                    help="per-call latency percentiles on the proto "
+                         "hot path")
     args = ap.parse_args()
+
+    if args.latency:
+        rows = [measure_latency(b, d, args.steps)
+                for d in args.dtypes for b in args.batches]
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        print(json.dumps({"metric": "serve_latency_ms", "rows": rows}))
+        return
 
     if args.stream:
         rows = []
