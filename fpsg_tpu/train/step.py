@@ -217,9 +217,26 @@ def _jit_with_default_state_layouts(fn, donate_argnums):
             if (cur is not None and cur.layout is not None
                     and cur.layout.major_to_minor == f.layout.major_to_minor):
                 return x  # the pin only names the dim order, not tiling
-            y = jax.device_put(x, f)
-            relayouted.append(y)
-            return y
+            # Bounded retry: the axon backend intermittently throws bare
+            # INVALID_ARGUMENT on device_put for a few seconds after a
+            # tunnel hiccup (observed 2026-08-19 mid-timing-loop). The
+            # copy is idempotent and nothing is donated yet, so retrying
+            # here is safe — and beats killing an hours-long training
+            # run over a transient (the emergency checkpoint would save
+            # it, but not resume it).
+            last = None
+            for attempt in range(3):
+                try:
+                    y = jax.device_put(x, f)
+                    relayouted.append(y)
+                    return y
+                except Exception as e:  # noqa: BLE001 — backend transient
+                    last = e
+                    if attempt < 2:
+                        import time
+
+                        time.sleep(5.0 * (attempt + 1))
+            raise last
 
         if cache["fmt"] is not None:
             state = jax.tree.map(_relayout, state, cache["fmt"])
