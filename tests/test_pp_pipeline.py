@@ -176,6 +176,46 @@ def test_heterogeneous_stages_conv_pool_dense(mesh):
                                rtol=3e-5, atol=3e-6)
 
 
+def test_pp_composes_with_dp():
+    """2-D (dp=2, pp=4) mesh: each dp row runs the SAME pipeline over
+    its shard of microbatches — the GPipe body only names the 'pp'
+    axis, so dp composition is pure sharding (no code change)."""
+    import numpy as np_
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+
+    from fpsg_tpu.parallel.pp import _gpipe_local_repeated
+
+    devices = jax.devices()
+    mesh2 = Mesh(np_.array(devices[:8]).reshape(2, 4), ("dp", "pp"))
+    params_list = _make_params(jax.random.PRNGKey(30), S)
+    stacked = stack_stage_params(params_list)
+    m_total = 8                      # 4 microbatches per dp row
+    x = jax.random.normal(jax.random.PRNGKey(31), (m_total, B, D))
+
+    import functools
+
+    body = functools.partial(_gpipe_local_repeated, _stage, True,
+                             m_total // 2, "pp")
+    # stage axis is dim 1 under the (dp, pp) layout: add a leading
+    # broadcast dim so P(None, 'pp') shards stages over pp only.
+    stacked2 = jax.tree.map(lambda l: l[None], stacked)
+
+    def body2(st, xs):
+        return body(jax.tree.map(lambda l: l[0], st), xs)
+
+    run = shard_map(
+        body2, mesh=mesh2,
+        in_specs=(P(None, "pp"), P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    got = jax.jit(run)(stacked2, x)
+    want = jax.vmap(lambda xm: _sequential(params_list, xm))(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_repeated_rejects_wrong_stage_count(mesh):
     """8 stacked stages on a 4-device pp mesh must raise, not silently
     compute with every 2nd stage (P('pp') would shard 2-per-device and
