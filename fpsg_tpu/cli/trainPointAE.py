@@ -31,6 +31,7 @@ def main(argv=None):
     p.add_argument("--name", type=str, default="pretrain_pointnet")
     p.add_argument("--model_path", type=str, default="../checkpoint")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--transient_retries", type=int, default=2)
     args = p.parse_args(argv)
     conf = PretrainConfig(**vars(args))
     _, out = pretrain_pc_encoder(conf)

@@ -123,6 +123,25 @@ class FPSGConfig:
                                  # moments dp-sharded across steps
                                  # (parallel/mesh.py:fsdp_state_sharding);
                                  # requires dp > 1
+    transient_retries: int = 2   # in-process replay retries per snapshot
+                                 # window on a transient backend failure
+                                 # (axon flake bursts poison BOTH the donated
+                                 # input state and the step output — CLAUDE.md
+                                 # quirks); replay restores (state, rng key)
+                                 # from a host snapshot so the trajectory is
+                                 # exact. 0 disables (old fail-fast behavior).
+                                 # Ignored under --host_corpus: the prefetch
+                                 # stream cannot be rewound for exact replay.
+    snapshot_interval: int = 0   # epochs between host-side TrainState
+                                 # snapshots for transient-retry replay (a
+                                 # full device_get). <=0 = AUTO: the loop
+                                 # measures its own pull + epoch time and
+                                 # picks the interval that keeps snapshot
+                                 # overhead <=2% of epoch time — every
+                                 # epoch on a local TPU host (~0.1 s pull),
+                                 # a handful per run through a thin link
+                                 # (38 s pull measured on the dev tunnel).
+                                 # A failure replays at most one interval.
     profile_dir: str = ""        # write a jax.profiler trace of one epoch
     export_torch: bool = False   # also save model_epoch_<e>.pt in the
                                  # reference's torch state-dict layout
@@ -217,6 +236,8 @@ def add_train_flags(parser: argparse.ArgumentParser) -> None:
     p("--dp", type=int, default=d.dp)
     p("--mp", type=int, default=d.mp)
     p("--fsdp", action="store_true")
+    p("--transient_retries", type=int, default=d.transient_retries)
+    p("--snapshot_interval", type=int, default=d.snapshot_interval)
     p("--profile_dir", type=str, default=d.profile_dir)
     p("--export_torch", action="store_true")
 

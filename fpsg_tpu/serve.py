@@ -28,10 +28,15 @@ from fpsg_tpu.train.optim import make_optimizer
 class Generator:
     """Jitted few-shot generator: (query images, support clouds) → clouds."""
 
-    def __init__(self, model, variables, seed: int = 0):
+    def __init__(self, model, variables, seed: int = 0,
+                 transient_retries: int = 2):
         self.model = model
         self.variables = variables
         self._key = jax.random.PRNGKey(seed)
+        # Generation is read-only (nothing donated), so transient backend
+        # failures are retried in place (train/retry.py); the key for a
+        # call is fixed before dispatch, so a retried call is identical.
+        self._retries = transient_retries
 
         def _norm(xq):
             # uint8 images normalize ON DEVICE: the host link carries 1
@@ -82,6 +87,7 @@ class Generator:
             model,
             {"params": state.params, "batch_stats": state.batch_stats},
             seed=conf.seed,
+            transient_retries=getattr(conf, "transient_retries", 2),
         )
 
     def stream(self, images_iter, *, proto, buffer: int = 2):
@@ -175,8 +181,18 @@ class Generator:
         input work than the query images at small Q). The returned
         device array is reusable across calls and processes (it's just
         an ``(F,)`` embedding)."""
-        return self._proto_fn(
-            self.variables, jnp.asarray(support_clouds, jnp.float32))
+        from fpsg_tpu.train.retry import retry_readonly
+
+        def compute():
+            out = self._proto_fn(
+                self.variables, jnp.asarray(support_clouds, jnp.float32))
+            # one-element device read: the only reliable error/sync point
+            # on axon (block_until_ready does not drain — CLAUDE.md);
+            # prototype() is one-time per class, so the extra RTT is free
+            jax.device_get(out.ravel()[0])
+            return out
+
+        return retry_readonly(compute, retries=self._retries)
 
     def __call__(
         self,
@@ -214,11 +230,16 @@ class Generator:
         xq = jnp.asarray(
             images,
             images.dtype if images.dtype == np.uint8 else np.float32)
-        if proto is not None:
-            out = self._from_proto_fn(self.variables, xq, proto, sub)
-        else:
-            out = self._fn(
-                self.variables, xq,
-                jnp.asarray(support_clouds, jnp.float32), sub,
-            )
-        return np.asarray(out)
+        from fpsg_tpu.train.retry import retry_readonly
+
+        def compute():
+            if proto is not None:
+                out = self._from_proto_fn(self.variables, xq, proto, sub)
+            else:
+                out = self._fn(
+                    self.variables, xq,
+                    jnp.asarray(support_clouds, jnp.float32), sub,
+                )
+            return np.asarray(out)  # D2H read surfaces deferred errors
+
+        return retry_readonly(compute, retries=self._retries)

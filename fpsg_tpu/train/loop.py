@@ -28,6 +28,7 @@ from fpsg_tpu.io.checkpoints import (
 )
 from fpsg_tpu.models import ImgPCProtoNet
 from fpsg_tpu.train.optim import make_optimizer
+from fpsg_tpu.train.retry import retry_readonly, transient_cooldown
 from fpsg_tpu.train.state import TrainState
 from fpsg_tpu.train.step import init_model, make_eval_step, make_train_step
 from fpsg_tpu.utils.logging import RunLogger
@@ -192,7 +193,10 @@ def train_network(conf: FPSGConfig) -> TrainState:
     logger = RunLogger(checkpoint_path)
 
     host_train_corpus = build_corpus(conf, conf.config_path)
-    test_corpus = DeviceCorpus.build(build_corpus(conf, conf.test_path))
+    # Host copies are retained: transient-failure recovery re-uploads the
+    # corpora (device buffers may be dead after a backend restart).
+    host_test_corpus = build_corpus(conf, conf.test_path)
+    test_corpus = DeviceCorpus.build(host_test_corpus)
     img_size = int(host_train_corpus.images[0].shape[1])
     # Corpus placement: HBM-resident stacks (default) or host RAM with a
     # prefetch thread (--host_corpus, for datasets larger than HBM).
@@ -325,124 +329,240 @@ def train_network(conf: FPSGConfig) -> TrainState:
             ttl_s += ttl_s_i
         return key, state, ttl_q, ttl_s
 
-    for epoch in range(start_epoch, conf.epoch + 1):
+    # --- transient-failure resume (CLAUDE.md axon quirks) ----------------
+    # A tunnel flake poisons BOTH the donated input state and the step's
+    # output, so no per-dispatch retry is possible. Recovery instead
+    # replays from a host snapshot of (state, rng key) taken every
+    # `snapshot_interval` epochs: the epoch trajectory is a pure function
+    # of (state, entry key, corpus) — sampling and template keys all derive
+    # from the entry key — so replay is EXACT (tests/test_transient_retry).
+    # Disabled under --host_corpus: the prefetch stream cannot be rewound.
+    retries = 0 if conf.host_corpus else max(0, conf.transient_retries)
+    # snapshot_interval <= 0 = AUTO: bound the happy-path snapshot cost to
+    # ~2% of epoch time. The pull is ~0.1 s on a local TPU host but ~38 s
+    # through the dev tunnel for the 930 MB flagship state (measured,
+    # benchmarks/snapshot_cost.py) — one fixed default cannot serve both
+    # links, so the loop measures its own pull and epoch and adapts
+    # (every epoch on a real host; a handful per run on a thin link,
+    # where the emergency checkpoint still bounds persistent failures).
+    auto_snap = conf.snapshot_interval <= 0
+    snap_every = 1 if auto_snap else conf.snapshot_interval
+    snap_pull_s = None
+    snap = None      # (host TrainState, entry rng key, epoch)
+    attempt = 0      # failures charged against the current snapshot window
+
+    def _emergency_save(epoch):
+        # failure containment: persist an emergency checkpoint so the
+        # run resumes with optimizer state intact (--resume <epoch-1>)
+        crash_path = os.path.join(
+            checkpoint_path, f"model_epoch_{max(epoch - 1, 1)}"
+        )
         try:
-            if conf.profile_dir and epoch == start_epoch:
+            if not checkpoint_exists(crash_path):
+                save_checkpoint(crash_path, live["state"],
+                                gather=(mesh is None))
+            logger.log(
+                f"Interrupted at epoch {epoch}; state saved to "
+                f"{crash_path}"
+            )
+        except Exception:
+            # state buffers may themselves be donated/poisoned if the
+            # failure happened mid-dispatch; the retry snapshot is a HOST
+            # copy, so it is always saveable when one exists
+            if snap is not None:
+                snap_state, _, snap_epoch = snap
+                snap_path = os.path.join(
+                    checkpoint_path, f"model_epoch_{max(snap_epoch - 1, 1)}"
+                )
+                try:
+                    if not checkpoint_exists(snap_path):
+                        save_checkpoint(snap_path, snap_state)
+                    logger.log(
+                        f"Interrupted at epoch {epoch}; live state "
+                        f"unsaveable, snapshot saved to {snap_path}"
+                    )
+                except Exception:
+                    logger.log(
+                        f"Interrupted at epoch {epoch}; state unsaveable, "
+                        "resume from the last periodic checkpoint"
+                    )
+            else:
+                logger.log(
+                    f"Interrupted at epoch {epoch}; live state unsaveable, "
+                    "resume from the last periodic checkpoint"
+                )
+        logger.flush()
+
+    def _restore_snapshot():
+        # Re-upload EVERYTHING from host copies: after a backend restart
+        # the device-resident corpora may be dead, not just the state.
+        nonlocal train_corpus, test_corpus
+        host_state, snap_key, snap_epoch = snap
+        test_corpus = DeviceCorpus.build(host_test_corpus)
+        if not conf.host_corpus:
+            train_corpus = DeviceCorpus.build(host_train_corpus)
+        if mesh is None:
+            # Plain put; the layout-pinned jit re-lays out mismatched
+            # leaves (with its own bounded retry) on the next dispatch.
+            st = jax.device_put(host_state)
+        else:
+            test_corpus = replicate(test_corpus, mesh)
+            train_corpus = replicate(train_corpus, mesh)
+            if conf.fsdp:
+                st = jax.device_put(host_state, state_shardings)
+            else:
+                st = shard_train_state(
+                    host_state, mesh, model_parallel=(conf.mp > 1)
+                )
+        live["state"] = st
+        return st, snap_key, snap_epoch
+
+    epoch = start_epoch
+    while epoch <= conf.epoch:
+        try:
+            if retries and (snap is None or epoch - snap[2] >= snap_every):
+                # The pull doubles as a queue drain at the epoch boundary;
+                # cost is one full device→host state read per snap_every
+                # epochs (measured in BASELINE.md).
+                import time as _time
+
+                _t0 = _time.perf_counter()
+                snap = (jax.device_get(state), key, epoch)
+                snap_pull_s = _time.perf_counter() - _t0
+                attempt = 0
+            if conf.profile_dir and epoch == start_epoch and attempt == 0:
                 from fpsg_tpu.utils.profiling import trace_context
 
                 with trace_context(conf.profile_dir):
                     key, state, ttl_q, ttl_s = run_epoch(epoch, key, state)
             else:
                 key, state, ttl_q, ttl_s = run_epoch(epoch, key, state)
-        except (KeyboardInterrupt, Exception):
-            # failure containment: persist an emergency checkpoint so the
-            # run resumes with optimizer state intact (--resume <epoch-1>)
-            crash_path = os.path.join(
-                checkpoint_path, f"model_epoch_{max(epoch - 1, 1)}"
-            )
-            try:
-                if not checkpoint_exists(crash_path):
-                    save_checkpoint(crash_path, live["state"],
-                                    gather=(mesh is None))
-                logger.log(
-                    f"Interrupted at epoch {epoch}; state saved to "
-                    f"{crash_path}"
-                )
-            except Exception:
-                # state buffers may themselves be donated if the failure
-                # happened mid-dispatch; fall back to on-disk checkpoints
-                logger.log(
-                    f"Interrupted at epoch {epoch}; live state unsaveable, "
-                    "resume from the last periodic checkpoint"
-                )
-            logger.flush()
-            raise
-        timer.tick(episodes_per_epoch)
+            timer.tick(episodes_per_epoch)
+            if auto_snap and snap_pull_s is not None:
+                epoch_s = episodes_per_epoch / max(
+                    timer.episodes_per_sec, 1e-9)
+                new_every = int(max(
+                    1, np.ceil(snap_pull_s / (0.02 * epoch_s))))
+                if new_every != snap_every:
+                    logger.log(
+                        f"snapshot_interval auto: state pull "
+                        f"{snap_pull_s * 1e3:.0f} ms vs epoch "
+                        f"{epoch_s:.2f} s → snapshot every {new_every} "
+                        f"epochs (≤2% overhead)"
+                    )
+                    snap_every = new_every
 
-        logger.log(
-            f"Training Results for Epoch -- {epoch} are: "
-            f"Query_rec: {ttl_q / episodes_per_epoch}, "
-            f"Support_rec: {ttl_s / episodes_per_epoch} "
-            f"[{timer.episodes_per_sec:.2f} episodes/s]"
-        )
-        logger.metrics({
-            "epoch": epoch,
-            "query_rec": ttl_q / episodes_per_epoch,
-            "support_rec": ttl_s / episodes_per_epoch,
-            "episodes_per_sec": timer.episodes_per_sec,
-        })
-
-        # EVALUATION (reference cadence, trainNetwork.py:157-188; the
-        # sampler choice mirrors trainNetwork.py:88-91 — sequential walks
-        # every test item once, else random episodes)
-        if epoch % conf.eval_interval == 0 or epoch == conf.epoch:
-            key, sub = jax.random.split(key)
-            if conf.sequential_eval:
-                cd, cls = _sequential_eval_cd(
-                    model, state, test_corpus, conf, sub
-                )
-            else:
-                out = _episodic_eval(
-                    eval_step, state, test_corpus, sub,
-                    conf.eval_episodes, conf.eval_chunk,
-                )
-                cd = out["cd_loss"] / n_query
-                cls = out["cls"]
-            per_class = defaultdict(list)
-            for c, v in zip(cls, cd):
-                per_class[test_corpus.class_names[int(c)]].append(float(v))
-            for name in sorted(per_class):
-                vals = per_class[name]
-                std = statistics.stdev(vals) if len(vals) > 1 else 0.0
-                logger.log(
-                    f"Class: {name} -- Rec CD: {statistics.mean(vals)} ({std})"
-                )
-            all_std = statistics.stdev(cd.tolist()) if len(cd) > 1 else 0.0
             logger.log(
-                f"Avg testing results across all classes Epoch -- {epoch} "
-                f"are: Query_rec: {float(cd.mean())} ({all_std})"
+                f"Training Results for Epoch -- {epoch} are: "
+                f"Query_rec: {ttl_q / episodes_per_epoch}, "
+                f"Support_rec: {ttl_s / episodes_per_epoch} "
+                f"[{timer.episodes_per_sec:.2f} episodes/s]"
             )
+            logger.metrics({
+                "epoch": epoch,
+                "query_rec": ttl_q / episodes_per_epoch,
+                "support_rec": ttl_s / episodes_per_epoch,
+                "episodes_per_sec": timer.episodes_per_sec,
+            })
 
-        # SAVE (trainNetwork.py:192-197)
-        if epoch % conf.save_interval == 0 or epoch == conf.epoch:
-            save_checkpoint(
-                os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state,
-                gather=(mesh is None),
-            )
-            if (conf.export_torch and conf.img_encoder == "vgg_16"
-                    and conf.pc_encoder == "pointnet"):
-                from fpsg_tpu.io.torch_export import export_imgpcprotonet
-
-                export_imgpcprotonet(
-                    os.path.join(checkpoint_path,
-                                 f"model_epoch_{epoch}.pt"),
-                    {"params": state.params,
-                     "batch_stats": state.batch_stats},
-                    num_clusters=conf.num_clusters,
-                    num_nodes=conf.num_nodes,
+            # EVALUATION (reference cadence, trainNetwork.py:157-188; the
+            # sampler choice mirrors trainNetwork.py:88-91 — sequential walks
+            # every test item once, else random episodes)
+            if epoch % conf.eval_interval == 0 or epoch == conf.epoch:
+                key, sub = jax.random.split(key)
+                if conf.sequential_eval:
+                    cd, cls = _sequential_eval_cd(
+                        model, state, test_corpus, conf, sub
+                    )
+                else:
+                    out = _episodic_eval(
+                        eval_step, state, test_corpus, sub,
+                        conf.eval_episodes, conf.eval_chunk,
+                        retries=conf.transient_retries,
+                    )
+                    cd = out["cd_loss"] / n_query
+                    cls = out["cls"]
+                per_class = defaultdict(list)
+                for c, v in zip(cls, cd):
+                    per_class[test_corpus.class_names[int(c)]].append(float(v))
+                for name in sorted(per_class):
+                    vals = per_class[name]
+                    std = statistics.stdev(vals) if len(vals) > 1 else 0.0
+                    logger.log(
+                        f"Class: {name} -- Rec CD: {statistics.mean(vals)} ({std})"
+                    )
+                all_std = statistics.stdev(cd.tolist()) if len(cd) > 1 else 0.0
+                logger.log(
+                    f"Avg testing results across all classes Epoch -- {epoch} "
+                    f"are: Query_rec: {float(cd.mean())} ({all_std})"
                 )
+
+            # SAVE (trainNetwork.py:192-197)
+            if epoch % conf.save_interval == 0 or epoch == conf.epoch:
+                save_checkpoint(
+                    os.path.join(checkpoint_path, f"model_epoch_{epoch}"), state,
+                    gather=(mesh is None),
+                )
+                if (conf.export_torch and conf.img_encoder == "vgg_16"
+                        and conf.pc_encoder == "pointnet"):
+                    from fpsg_tpu.io.torch_export import export_imgpcprotonet
+
+                    export_imgpcprotonet(
+                        os.path.join(checkpoint_path,
+                                     f"model_epoch_{epoch}.pt"),
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats},
+                        num_clusters=conf.num_clusters,
+                        num_nodes=conf.num_nodes,
+                    )
+                logger.flush()
+
+            # VISUALIZE (trainNetwork.py:200-207)
+            if epoch % conf.sample_interval == 0:
+                key, sub = jax.random.split(key)
+                if conf.host_corpus:
+                    batch = next(episode_iter)
+                    sample = jax.tree.map(lambda x: x[0], {
+                        k: v for k, v in batch.items() if k != "cls"})
+                    out = model.apply(
+                        state.variables, sample, method=model.reconstruct,
+                        rngs={"template": sub},
+                    )
+                    draw_reconstruction(
+                        np.asarray(out["syn_pc"]), np.asarray(sample["pcq"]),
+                        logger.images_dir, f"sample_img_{epoch}",
+                    )
+                else:
+                    _draw_sample(
+                        model, state, train_corpus, conf, sub,
+                        logger.images_dir, f"sample_img_{epoch}",
+                    )
+
+            epoch += 1
+        except KeyboardInterrupt:
+            _emergency_save(epoch)
+            raise
+        except Exception as exc:  # noqa: BLE001 — backend transients
+            if snap is None or attempt >= retries:
+                _emergency_save(epoch)
+                raise
+            attempt += 1
+            logger.log(
+                f"Transient failure in epoch {epoch} "
+                f"(attempt {attempt}/{retries}): {exc!r}; replaying from "
+                f"the epoch-{snap[2]} snapshot"
+            )
             logger.flush()
-
-        # VISUALIZE (trainNetwork.py:200-207)
-        if epoch % conf.sample_interval == 0:
-            key, sub = jax.random.split(key)
-            if conf.host_corpus:
-                batch = next(episode_iter)
-                sample = jax.tree.map(lambda x: x[0], {
-                    k: v for k, v in batch.items() if k != "cls"})
-                out = model.apply(
-                    state.variables, sample, method=model.reconstruct,
-                    rngs={"template": sub},
-                )
-                draw_reconstruction(
-                    np.asarray(out["syn_pc"]), np.asarray(sample["pcq"]),
-                    logger.images_dir, f"sample_img_{epoch}",
-                )
-            else:
-                _draw_sample(
-                    model, state, train_corpus, conf, sub,
-                    logger.images_dir, f"sample_img_{epoch}",
-                )
+            transient_cooldown()
+            try:
+                state, key, epoch = _restore_snapshot()
+            except Exception:
+                # The backend is still unusable — give up through the
+                # emergency-checkpoint path (live state is the snapshot's
+                # host copy only at this point; the save likely falls to
+                # the unsaveable branch and defers to periodic ckpts).
+                _emergency_save(epoch)
+                raise
 
     logger.flush()
     return state
@@ -483,18 +603,20 @@ def _run_sequential(model, state, corpus, conf, key, with_emd):
         padded = batch_pairs + [batch_pairs[-1]] * (chunk - len(batch_pairs))
         key, sub = jax.random.split(key)
         ks = jax.random.split(sub, chunk)
-        out = step(
+        # read-only dispatch (nothing donated): in-place retry is safe and
+        # bit-identical (ks is fixed before the call)
+        out = retry_readonly(lambda: jax.tree.map(np.asarray, step(
             state.variables, corpus,
             jnp.asarray([p[0] for p in padded], jnp.int32),
             jnp.asarray([p[1] for p in padded], jnp.int32),
             ks,
-        )
-        out = jax.tree.map(np.asarray, out)
+        )), retries=getattr(conf, "transient_retries", 2))
         for j, (c, i) in enumerate(batch_pairs):
             yield c, i, jax.tree.map(lambda a: a[j], out)
 
 
-def _episodic_eval(eval_step, state, corpus, key, n_episodes, max_chunk):
+def _episodic_eval(eval_step, state, corpus, key, n_episodes, max_chunk,
+                   retries: int = 2):
     """Random-sampler eval in fixed-size chunks: one compiled shape, bounded
     activation memory (the unchunked 100-episode batch at 32-shot OOMs a
     16 GB chip on the VGG activations)."""
@@ -507,8 +629,12 @@ def _episodic_eval(eval_step, state, corpus, key, n_episodes, max_chunk):
     outs = []
     for _ in range(n_episodes // chunk):
         key, sub = _jax.random.split(key)
-        out = eval_step(state, corpus, sub, chunk)
-        outs.append({k: np.asarray(v) for k, v in out.items()})
+        # read-only dispatch: in-place retry is safe (sub fixed → exact)
+        outs.append(retry_readonly(
+            lambda: {k: np.asarray(v)
+                     for k, v in eval_step(state, corpus, sub, chunk).items()},
+            retries=retries,
+        ))
     return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
 
 
@@ -586,6 +712,7 @@ def evaluate_network(conf: FPSGConfig) -> Dict[str, Dict[str, float]]:
         out = _episodic_eval(
             eval_step, state, test_corpus, sub,
             conf.eval_episodes, conf.eval_chunk,
+            retries=conf.transient_retries,
         )
         cls = out["cls"]
         for c, cd_v, emd_v in zip(

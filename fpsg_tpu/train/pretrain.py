@@ -24,6 +24,7 @@ from fpsg_tpu.io.checkpoints import save_checkpoint
 from fpsg_tpu.models.protonet import PCEncoder
 from fpsg_tpu.models.support import AuxClassifier
 from fpsg_tpu.train.optim import make_optimizer
+from fpsg_tpu.train.retry import transient_cooldown
 from fpsg_tpu.train.state import TrainState
 from fpsg_tpu.utils.logging import RunLogger
 
@@ -46,6 +47,9 @@ class PretrainConfig:
     model_path: str = "../checkpoint"
     seed: int = 0
     n_pts: int = 2048
+    transient_retries: int = 2  # exact epoch replay from a host snapshot
+                                # on transient backend failures (same
+                                # machinery as train/loop.py); 0 = fail fast
 
 
 class PCClassifier(nn.Module):
@@ -164,54 +168,107 @@ def pretrain_pc_encoder(conf: PretrainConfig) -> Tuple[TrainState, str]:
     b = conf.batch_size
     out_path = os.path.join(checkpoint_path, f"{conf.name}_{conf.core}")
 
-    for epoch in range(1, conf.epoch + 1):
-        perm = rng.permutation(len(clouds))
-        n_batches = len(clouds) // b  # drop_last=True (trainPointAE.py:55)
-        run_loss, run_acc = 0.0, 0.0
-        for i in range(n_batches):
-            idx = jnp.asarray(perm[i * b: (i + 1) * b])
-            key, sub = jax.random.split(key)
-            state, m = step(
-                state, d_clouds[idx], d_labels[idx], sub
-            )
-            run_loss += float(m["loss"]) * b
-            run_acc += float(m["acc"]) * b
-        logger.log(
-            f"Running CrossEntropy is {run_loss / len(clouds)}, "
-            f"Running Acc is {run_acc / len(clouds)} at Epoch {epoch}"
-        )
+    # Transient-failure resume (same design as train/loop.py): the step
+    # donates its input state, so a backend flake poisons both sides of a
+    # dispatch; recovery replays the epoch from a host snapshot. Both RNG
+    # streams (the jax key and the numpy permutation generator) rewind
+    # with it, so the replayed trajectory is bit-identical.
+    retries = max(0, conf.transient_retries)
+    snap = None   # (epoch, host state, jax key, numpy bit-generator state)
+    attempt = 0
 
-        if epoch % conf.val_interval == 0:
-            m = eval_fn(state, d_clouds_t, d_labels_t)
-            logger.log(
-                f"Test CrossEntropy is {float(m['loss'])}, "
-                f"Test Accuracy is {float(m['acc'])} at Epoch {epoch}"
-            )
-
-        if epoch % conf.save_interval == 0 or epoch == conf.epoch:
-            # Save the ENCODER subtree (what trainNetwork ingests).
-            enc = {
-                "params": {"pc_encoder_wrap": state.params["encoder"]},
-                "batch_stats": {
-                    "pc_encoder_wrap": state.batch_stats["encoder"]
-                },
-            }
-            save_checkpoint(out_path, enc)
-            if conf.core == "pointnet":
-                # Also write the torch-format file with the reference's
-                # exact name and key layout ({name}_{core}.pt,
-                # trainPointAE.py:126) — a drop-in --pc_encoder_path for
-                # the REFERENCE trainer.
-                from fpsg_tpu.io.torch_export import export_pc_encoder
-
-                export_pc_encoder(
-                    out_path + ".pt",
-                    {
-                        "params": state.params["encoder"],
-                        "batch_stats": state.batch_stats["encoder"],
-                    },
+    epoch = 1
+    while epoch <= conf.epoch:
+        try:
+            if retries and (snap is None or epoch != snap[0]):
+                snap = (epoch, jax.device_get(state), key,
+                        rng.bit_generator.state)
+                attempt = 0
+            perm = rng.permutation(len(clouds))
+            n_batches = len(clouds) // b  # drop_last=True (trainPointAE.py:55)
+            run_loss, run_acc = 0.0, 0.0
+            for i in range(n_batches):
+                idx = jnp.asarray(perm[i * b: (i + 1) * b])
+                key, sub = jax.random.split(key)
+                state, m = step(
+                    state, d_clouds[idx], d_labels[idx], sub
                 )
+                run_loss += float(m["loss"]) * b
+                run_acc += float(m["acc"]) * b
+            logger.log(
+                f"Running CrossEntropy is {run_loss / len(clouds)}, "
+                f"Running Acc is {run_acc / len(clouds)} at Epoch {epoch}"
+            )
+
+            if epoch % conf.val_interval == 0:
+                m = eval_fn(state, d_clouds_t, d_labels_t)
+                logger.log(
+                    f"Test CrossEntropy is {float(m['loss'])}, "
+                    f"Test Accuracy is {float(m['acc'])} at Epoch {epoch}"
+                )
+
+            if epoch % conf.save_interval == 0 or epoch == conf.epoch:
+                # Save the ENCODER subtree (what trainNetwork ingests).
+                enc = {
+                    "params": {"pc_encoder_wrap": state.params["encoder"]},
+                    "batch_stats": {
+                        "pc_encoder_wrap": state.batch_stats["encoder"]
+                    },
+                }
+                save_checkpoint(out_path, enc)
+                if conf.core == "pointnet":
+                    # Also write the torch-format file with the reference's
+                    # exact name and key layout ({name}_{core}.pt,
+                    # trainPointAE.py:126) — a drop-in --pc_encoder_path for
+                    # the REFERENCE trainer.
+                    from fpsg_tpu.io.torch_export import export_pc_encoder
+
+                    export_pc_encoder(
+                        out_path + ".pt",
+                        {
+                            "params": state.params["encoder"],
+                            "batch_stats": state.batch_stats["encoder"],
+                        },
+                    )
+                logger.flush()
+            epoch += 1
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:  # noqa: BLE001 — backend transients
+            if snap is None or attempt >= retries:
+                # the snapshot is a host copy — always saveable; leave a
+                # resumable encoder checkpoint behind before giving up
+                if snap is not None:
+                    enc = {
+                        "params": {
+                            "pc_encoder_wrap": snap[1].params["encoder"]},
+                        "batch_stats": {
+                            "pc_encoder_wrap": snap[1].batch_stats["encoder"]},
+                    }
+                    save_checkpoint(out_path + "_crash", enc)
+                    logger.log(
+                        f"Interrupted at epoch {epoch}; epoch-{snap[0]} "
+                        f"snapshot saved to {out_path}_crash"
+                    )
+                logger.flush()
+                raise
+            attempt += 1
+            logger.log(
+                f"Transient failure in pretrain epoch {epoch} "
+                f"(attempt {attempt}/{retries}): {exc!r}; replaying from "
+                f"the epoch-{snap[0]} snapshot"
+            )
             logger.flush()
+            transient_cooldown()
+            epoch, host_state, key, rng_state = snap
+            state = jax.device_put(host_state)
+            rng = np.random.default_rng(conf.seed)
+            rng.bit_generator.state = rng_state
+            # device-resident data may be dead after a backend restart
+            d_clouds = jnp.asarray(clouds)
+            d_labels = jnp.asarray(labels)
+            d_clouds_t = jnp.asarray(clouds_t)
+            d_labels_t = jnp.asarray(labels_t)
 
     logger.flush()
     return state, out_path

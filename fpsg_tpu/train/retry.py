@@ -1,0 +1,46 @@
+"""Shared bits of the loop-level transient-failure resume.
+
+An axon tunnel flake poisons BOTH the donated input state and the step's
+output (CLAUDE.md platform quirks), so the training drivers recover by
+replaying from a host-side snapshot of (state, rng keys) — see
+``train/loop.py`` and ``train/pretrain.py``. This module holds the one
+knob they share.
+"""
+
+from __future__ import annotations
+
+import jax
+
+# Cool-down before a replay: flake bursts last a few seconds after a
+# tunnel hiccup; off-TPU there is no tunnel to wait out, so tests replay
+# immediately.
+RETRY_COOLDOWN_S = 15.0
+
+
+def transient_cooldown() -> None:
+    if jax.default_backend() == "tpu":
+        import time
+
+        time.sleep(RETRY_COOLDOWN_S)
+
+
+def retry_readonly(fn, retries: int = 2):
+    """Run ``fn()`` with bounded retry + cooldown.
+
+    ONLY for read-only dispatches (eval/serving: nothing donated, no state
+    mutated) — re-running such a dispatch is free of side effects, and the
+    rng keys it uses are closed over, so a retried call is bit-identical.
+    Covers the transient-burst case where device buffers survive; a truly
+    dead backend exhausts the budget and re-raises the last error.
+    """
+    last = None
+    for attempt in range(max(0, retries) + 1):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:  # noqa: BLE001 — backend transients
+            last = exc
+            if attempt < retries:
+                transient_cooldown()
+    raise last

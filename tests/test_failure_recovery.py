@@ -30,6 +30,9 @@ def tiny_conf(tmp_path):
         # lands on the intended step count (the default fuses steps via
         # lax.scan, changing the number of dispatches per epoch)
         steps_per_call=1,
+        # fail-fast: this test exercises the emergency-checkpoint path,
+        # not the in-process replay (tests/test_transient_retry.py)
+        transient_retries=0,
     )
 
 

@@ -200,3 +200,40 @@ def test_one_executable_across_calls(gen, rng):
         imgs2 = np.roll(imgs, 1, axis=0)
         gen(imgs2, clouds)
     assert gen._fn._cache_size() == misses0
+
+
+def test_call_retries_transient_failures(gen, rng):
+    """Generation is read-only, so a transient backend failure retries in
+    place (train/retry.py) — same key, bit-identical result."""
+    imgs, clouds = _inputs(rng)
+    want = gen(imgs, clouds)  # advances the key; next call uses a new sub
+
+    real_fn = gen._fn
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient")
+        return real_fn(*a, **kw)
+
+    gen._fn = flaky
+    try:
+        out = gen(imgs, clouds)
+    finally:
+        gen._fn = real_fn
+    assert calls["n"] == 2
+    assert out.shape == want.shape  # a later key → values differ; shape holds
+
+    # persistent failure exhausts the budget and re-raises
+    def dead(*a, **kw):
+        raise RuntimeError("persistent")
+
+    gen._fn = dead
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="persistent"):
+            gen(imgs, clouds)
+    finally:
+        gen._fn = real_fn
