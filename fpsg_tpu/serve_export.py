@@ -1,0 +1,165 @@
+"""Serialized serving artifacts via ``jax.export`` (StableHLO).
+
+Deployment rarely wants Python model code, flax trees, and checkpoint
+loading on the serving host. This module freezes a trained
+:class:`fpsg_tpu.serve.Generator` into self-contained StableHLO
+artifacts — weights baked in as constants — that any JAX process (or an
+XLA runtime speaking the jax.export calling convention) can execute
+without importing ``fpsg_tpu.models`` or reading a checkpoint:
+
+    export_generator(gen, "artifacts/", img_size=224)      # train side
+    g = ExportedGenerator("artifacts/")                    # serving side
+    proto = g.prototype(support_clouds)                    # once per class
+    clouds = g.generate(images_u8, proto, seed=0)          # hot path
+
+Two functions are exported (mirroring the live Generator's split):
+
+- ``prototype.jaxexport`` — (S, N, 3) support clouds → (F,) class
+  prototype. Fixed S (the support-set size is a deployment constant).
+- ``generate.jaxexport`` — (b, H, W, 3) uint8 images + (F,) proto +
+  uint32[2] key data → (b, num_points, 3) f32 clouds, with ``b``
+  SYMBOLIC (one artifact serves every batch size; jax.export shape
+  polymorphism).
+
+The reference has nothing comparable (its eval path re-instantiates the
+torch model from source + ``.pt`` every time); this is the TPU-idiomatic
+production packaging: ahead-of-time lowered, platform-tagged
+(``platforms=["tpu"]`` by default), and checked at call time by the
+jax.export runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MANIFEST = "manifest.json"
+_GEN_FILE = "generate.jaxexport"
+_PROTO_FILE = "prototype.jaxexport"
+
+
+def export_generator(
+    gen,
+    out_dir: str,
+    *,
+    img_size: int,
+    n_support: int = 1,
+    n_points_per_cloud: int = 2048,
+    platforms: Optional[Sequence[str]] = None,
+    batch: Optional[int] = None,
+) -> dict:
+    """Serialize ``gen``'s serving functions to ``out_dir``.
+
+    Args:
+      gen: a live :class:`fpsg_tpu.serve.Generator` (weights are baked
+        into the artifacts as constants).
+      img_size: H (= W) of the query images the artifact accepts.
+      n_support: support-set size S accepted by the prototype artifact.
+      n_points_per_cloud: N of the support clouds.
+      platforms: lowering targets (default: the current backend). Pass
+        ``["tpu"]`` (or several, e.g. ``["tpu", "cpu"]``) to pin.
+      batch: export a FIXED query batch size instead of a symbolic one
+        (fallback for models whose lowering rejects symbolic shapes).
+
+    Returns the manifest dict (also written to ``out_dir/manifest.json``).
+    """
+    from jax import export as jexport
+
+    os.makedirs(out_dir, exist_ok=True)
+    plats = list(platforms) if platforms else [jax.default_backend()]
+
+    variables = gen.variables
+    model = gen.model
+
+    def generate(xq, proto, key_data):
+        sample_key = jax.random.wrap_key_data(key_data)
+        from fpsg_tpu.data.corpus import normalize_images
+
+        return model.apply(
+            variables, normalize_images(xq), proto,
+            method=model.generate_from_proto,
+            rngs={"template": sample_key},
+        )
+
+    def prototype(pcs):
+        return model.apply(variables, pcs, method=model.encode_prototype)
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+    xq_spec = jax.ShapeDtypeStruct((b, img_size, img_size, 3), jnp.uint8)
+    proto_shape = jax.eval_shape(
+        prototype,
+        jax.ShapeDtypeStruct(
+            (n_support, n_points_per_cloud, 3), jnp.float32),
+    )
+    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    exp_gen = jexport.export(jax.jit(generate), platforms=plats)(
+        xq_spec, proto_shape, key_spec)
+    exp_proto = jexport.export(jax.jit(prototype), platforms=plats)(
+        jax.ShapeDtypeStruct(
+            (n_support, n_points_per_cloud, 3), jnp.float32))
+
+    with open(os.path.join(out_dir, _GEN_FILE), "wb") as f:
+        f.write(exp_gen.serialize())
+    with open(os.path.join(out_dir, _PROTO_FILE), "wb") as f:
+        f.write(exp_proto.serialize())
+    manifest = {
+        "img_size": img_size,
+        "n_support": n_support,
+        "n_points_per_cloud": n_points_per_cloud,
+        "proto_dim": list(proto_shape.shape),
+        "out_points": int(exp_gen.out_avals[0].shape[1]),
+        "platforms": plats,
+        "batch": "symbolic" if batch is None else int(batch),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ExportedGenerator:
+    """Run exported artifacts — no model code, no checkpoint loads.
+
+    The call convention mirrors :class:`fpsg_tpu.serve.Generator`, with
+    the rng made explicit (deployment owns its seeds):
+
+        g = ExportedGenerator(path)
+        proto = g.prototype(support_clouds)       # (F,) device array
+        clouds = g.generate(images_u8, proto, seed=17)
+    """
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        with open(os.path.join(path, _GEN_FILE), "rb") as f:
+            self._gen = jexport.deserialize(bytearray(f.read()))
+        with open(os.path.join(path, _PROTO_FILE), "rb") as f:
+            self._proto = jexport.deserialize(bytearray(f.read()))
+
+    def prototype(self, support_clouds) -> jax.Array:
+        return self._proto.call(
+            jnp.asarray(support_clouds, jnp.float32))
+
+    def generate(self, images, proto, *, seed: int = 0,
+                 key=None) -> np.ndarray:
+        """images: (b, H, W, 3) uint8 (or a single (H, W, 3) image)."""
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if key is None:
+            key = jax.random.PRNGKey(seed)
+        key_data = jax.random.key_data(key).astype(jnp.uint32)
+        out = self._gen.call(
+            jnp.asarray(images, jnp.uint8), proto, key_data)
+        return np.asarray(out)
