@@ -95,6 +95,13 @@ class ImgPCProtoNet(nn.Module):
                                  # (fpsg_tpu.ops.conv3x3)
     winograd: bool = False       # Winograd F(2,3) VGG convs (4/9 MACs,
                                  # LSB rounding only; fpsg_tpu.ops.winograd)
+    decoder_fused: str = "auto"  # decoder node-chain execution (see
+                                 # nn/decoder.py `fused`): 'auto' = Pallas
+                                 # fused kernels on TPU, XLA elsewhere;
+                                 # 'off' = the portable XLA path (same
+                                 # params, equivalence-tested) — used by
+                                 # serve_export (Pallas cannot lower
+                                 # symbolic-batch blocks)
     precise_stats: bool = False  # two-pass BN variance everywhere: exact
                                  # reference-trajectory stats (the parity
                                  # tests run in this mode); default is the
@@ -162,6 +169,7 @@ class ImgPCProtoNet(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
             precise_stats=self.precise_stats,
+            fused=self.decoder_fused,
             name="pc_decoder",
         )
 

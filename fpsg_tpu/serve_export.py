@@ -74,7 +74,14 @@ def export_generator(
     plats = list(platforms) if platforms else [jax.default_backend()]
 
     variables = gen.variables
+    # Export the PORTABLE XLA decoder path: Pallas kernels cannot lower
+    # symbolic-batch block shapes (and tie the artifact to one Mosaic
+    # runtime). Same param tree, equivalence-tested vs the fused path
+    # (tests/test_fused_decoder.py), and serving is transport-bound
+    # anyway (BASELINE.md round 3i).
     model = gen.model
+    if getattr(model, "decoder_fused", None) is not None:
+        model = model.clone(decoder_fused="off")
 
     def generate(xq, proto, key_data):
         sample_key = jax.random.wrap_key_data(key_data)
@@ -146,9 +153,15 @@ class ExportedGenerator:
             self._gen = jexport.deserialize(bytearray(f.read()))
         with open(os.path.join(path, _PROTO_FILE), "rb") as f:
             self._proto = jexport.deserialize(bytearray(f.read()))
+        # Exported.call TRACES on every invocation; jit it so repeated
+        # same-shape serving calls reuse one compiled executable (the
+        # same one-compile contract as the live Generator). A symbolic-
+        # batch artifact compiles once per distinct batch size.
+        self._gen_call = jax.jit(self._gen.call)
+        self._proto_call = jax.jit(self._proto.call)
 
     def prototype(self, support_clouds) -> jax.Array:
-        return self._proto.call(
+        return self._proto_call(
             jnp.asarray(support_clouds, jnp.float32))
 
     def generate(self, images, proto, *, seed: int = 0,
@@ -160,6 +173,6 @@ class ExportedGenerator:
         if key is None:
             key = jax.random.PRNGKey(seed)
         key_data = jax.random.key_data(key).astype(jnp.uint32)
-        out = self._gen.call(
+        out = self._gen_call(
             jnp.asarray(images, jnp.uint8), proto, key_data)
         return np.asarray(out)

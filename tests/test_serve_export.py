@@ -103,3 +103,17 @@ def test_fixed_batch_export_fallback(tmp_path, rng):
     imgs, clouds = _inputs(rng, q=2)
     out_arr = g2.generate(imgs, g2.prototype(clouds), seed=1)
     assert out_arr.shape == (2, NPTS, 3)
+
+
+def test_one_executable_across_calls(artifacts, rng):
+    """jitted Exported.call: repeated same-shape serving calls reuse one
+    compiled executable (Exported.call alone re-traces every call)."""
+    _, out, _ = artifacts
+    g2 = ExportedGenerator(out)
+    imgs, clouds = _inputs(rng, q=2)
+    proto = g2.prototype(clouds)
+    g2.generate(imgs, proto, seed=0)
+    misses0 = g2._gen_call._cache_size()
+    for s in range(3):
+        g2.generate(imgs, proto, seed=s)
+    assert g2._gen_call._cache_size() == misses0
