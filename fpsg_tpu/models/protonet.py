@@ -290,16 +290,28 @@ class ImgPCProtoNet(nn.Module):
         pc_z = self.pc_encoder(pcs, False)
         return jnp.mean(pc_z, axis=0)
 
-    def generate_from_proto(self, xq: jax.Array, proto: jax.Array
-                            ) -> jax.Array:
+    def generate_from_proto(
+        self,
+        xq: jax.Array,
+        proto: jax.Array,
+        template_points: Optional[jax.Array] = None,
+    ) -> jax.Array:
         """Synthesize query clouds from a precomputed class prototype
-        (the query-dependent remainder of :meth:`generate`)."""
+        (the query-dependent remainder of :meth:`generate`).
+
+        ``template_points`` optionally pins the decoder's template samples
+        (shape (B, C, Nn, P, ori)) instead of drawing one batch-wide
+        sample from the 'template' RNG stream. Serving uses this with
+        PER-ITEM draws (:func:`per_item_template_points`) so a request's
+        output does not depend on which other requests it was batched
+        with (dynamic batching stays semantically invisible)."""
         n_query = xq.shape[0]
         img_z = self.img_encoder(xq, False)
         proto_mat_q = jnp.broadcast_to(
             proto[None], (n_query, proto.shape[-1]))
         return self.pc_decoder(
-            jnp.concatenate([img_z, proto_mat_q], axis=1), train=False
+            jnp.concatenate([img_z, proto_mat_q], axis=1), train=False,
+            template_points=template_points,
         )
 
     def generate(self, sample: Dict[str, jax.Array]) -> jax.Array:
@@ -307,3 +319,35 @@ class ImgPCProtoNet(nn.Module):
         few_shot.py:179-213): prototype from the SUPPORT set (not ad)."""
         proto = self.encode_prototype(sample["pcs"])
         return self.generate_from_proto(sample["xq"], proto)
+
+
+def per_item_template_points(model: ImgPCProtoNet, keys: jax.Array
+                             ) -> jax.Array:
+    """Per-item decoder template samples: one independent draw per key.
+
+    Returns (B, C, Nn, P, ori) uniform/sphere samples where row i is a
+    pure function of ``keys[i]`` alone — NOT of the batch size or of the
+    other rows. This is what makes dynamic batching semantically
+    invisible in serving (fpsg_tpu/serve_http.py): a request generated
+    inside a coalesced batch is bit-identical to the same request served
+    alone, because its template draw (the only randomness in generation)
+    is keyed per item. Contrast the training path, which draws ONE
+    batch-wide sample from the 'template' RNG stream (decoder.py:185).
+
+    Args:
+      model: the generator model (template config is read off it).
+      keys: (B,) typed PRNG key array (e.g. ``jax.random.split(k, B)``).
+    """
+    from fpsg_tpu.nn.templates import get_template
+
+    template = get_template(model.template_type)
+    if template.dim != model.ori_dim:
+        raise ValueError(
+            f"template dim {template.dim} != ori_dim {model.ori_dim}")
+    c, n = model.num_clusters, model.num_nodes
+    ppn = model.num_points // c // n
+
+    def draw(k):
+        return template.get_random_points(k, (c, n, ppn, model.ori_dim))
+
+    return jax.vmap(draw)(keys)

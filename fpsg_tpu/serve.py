@@ -61,6 +61,20 @@ class Generator:
             return model.apply(
                 variables, pcs, method=model.encode_prototype)
 
+        def _from_proto_keyed(variables, xq, proto, keys):
+            # Per-item template draws (models/protonet.py:
+            # per_item_template_points): row i of the output is a pure
+            # function of keys[i] — independent of batch size and of the
+            # other rows. This is the path dynamic batching
+            # (serve_http.py) relies on being coalescing-invariant.
+            from fpsg_tpu.models.protonet import per_item_template_points
+
+            tp = per_item_template_points(model, keys)
+            return model.apply(
+                variables, _norm(xq), proto, tp,
+                method=model.generate_from_proto,
+            )
+
         def _from_proto(variables, xq, proto, key):
             return model.apply(
                 variables, _norm(xq), proto,
@@ -71,6 +85,7 @@ class Generator:
         self._fn = jax.jit(_generate)
         self._proto_fn = jax.jit(_proto)
         self._from_proto_fn = jax.jit(_from_proto)
+        self._from_proto_keyed_fn = jax.jit(_from_proto_keyed)
 
     @classmethod
     def from_checkpoint(
@@ -170,6 +185,49 @@ class Generator:
                 yield np.asarray(pending)
         finally:
             cancel.set()
+
+    def generate_keyed(self, images: np.ndarray, *, proto: jax.Array,
+                       keys: jax.Array) -> np.ndarray:
+        """Batching-INVARIANT generation: one explicit RNG key per image.
+
+        Output row i is a pure function of ``(images[i], proto, keys[i])``
+        — unlike :meth:`__call__`, where the single 'template' key makes
+        each row's randomness depend on the batch it shipped in. Dynamic
+        batching (serve_http.py) requires this: a request coalesced into
+        a batch of 7 must return bits identical to the same request
+        served alone.
+
+        Args:
+          images: (Q, H, W, 3) uint8 or float in [-1, 1].
+          proto: precomputed class prototype from :meth:`prototype`.
+          keys: (Q,) typed PRNG key array, or (Q, 2) uint32 key data.
+
+        Returns:
+          (Q, num_points, 3) float32.
+        """
+        images = np.asarray(images)
+        if images.ndim == 3:
+            images = images[None]
+        if np.issubdtype(images.dtype, np.integer):
+            images = images.astype(np.uint8)
+        xq = jnp.asarray(
+            images,
+            images.dtype if images.dtype == np.uint8 else np.float32)
+        keys = jnp.asarray(keys)
+        if not jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+            keys = jax.vmap(jax.random.wrap_key_data)(
+                keys.astype(jnp.uint32))
+        if keys.shape[0] != xq.shape[0]:
+            raise ValueError(
+                f"{keys.shape[0]} keys for {xq.shape[0]} images")
+        from fpsg_tpu.train.retry import retry_readonly
+
+        def compute():
+            out = self._from_proto_keyed_fn(
+                self.variables, xq, proto, keys)
+            return np.asarray(out)
+
+        return retry_readonly(compute, retries=self._retries)
 
     def prototype(self, support_clouds: np.ndarray) -> jax.Array:
         """Encode a class support set ``(S, N, 3)`` into its prototype.

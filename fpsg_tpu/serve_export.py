@@ -17,9 +17,11 @@ Two functions are exported (mirroring the live Generator's split):
 - ``prototype.jaxexport`` — (S, N, 3) support clouds → (F,) class
   prototype. Fixed S (the support-set size is a deployment constant).
 - ``generate.jaxexport`` — (b, H, W, 3) uint8 images + (F,) proto +
-  uint32[2] key data → (b, num_points, 3) f32 clouds, with ``b``
-  SYMBOLIC (one artifact serves every batch size; jax.export shape
-  polymorphism).
+  uint32[b, 2] PER-ITEM key data → (b, num_points, 3) f32 clouds, with
+  ``b`` SYMBOLIC (one artifact serves every batch size; jax.export
+  shape polymorphism). Per-item keys make row i a pure function of
+  (image i, proto, key i), so dynamic batching (serve_http.py) cannot
+  change what any single request gets.
 
 The reference has nothing comparable (its eval path re-instantiates the
 torch model from source + ``.pt`` every time); this is the TPU-idiomatic
@@ -84,13 +86,19 @@ def export_generator(
         model = model.clone(decoder_fused="off")
 
     def generate(xq, proto, key_data):
-        sample_key = jax.random.wrap_key_data(key_data)
+        # PER-ITEM keys (key_data is (b, 2) uint32): output row i is a
+        # pure function of (xq[i], proto, key_data[i]) — the template
+        # draw is keyed per item (models/protonet.py:
+        # per_item_template_points), so a dynamic batcher coalescing
+        # requests (serve_http.py) cannot change what any request gets.
         from fpsg_tpu.data.corpus import normalize_images
+        from fpsg_tpu.models.protonet import per_item_template_points
 
+        keys = jax.vmap(jax.random.wrap_key_data)(key_data)
+        tp = per_item_template_points(model, keys)
         return model.apply(
-            variables, normalize_images(xq), proto,
+            variables, normalize_images(xq), proto, tp,
             method=model.generate_from_proto,
-            rngs={"template": sample_key},
         )
 
     def prototype(pcs):
@@ -106,7 +114,7 @@ def export_generator(
         jax.ShapeDtypeStruct(
             (n_support, n_points_per_cloud, 3), jnp.float32),
     )
-    key_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    key_spec = jax.ShapeDtypeStruct((b, 2), jnp.uint32)
 
     exp_gen = jexport.export(jax.jit(generate), platforms=plats)(
         xq_spec, proto_shape, key_spec)
@@ -126,6 +134,7 @@ def export_generator(
         "out_points": int(exp_gen.out_avals[0].shape[1]),
         "platforms": plats,
         "batch": "symbolic" if batch is None else int(batch),
+        "keying": "per_item",  # key_data is (b, 2): one key per image
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -165,14 +174,33 @@ class ExportedGenerator:
             jnp.asarray(support_clouds, jnp.float32))
 
     def generate(self, images, proto, *, seed: int = 0,
-                 key=None) -> np.ndarray:
-        """images: (b, H, W, 3) uint8 (or a single (H, W, 3) image)."""
+                 key=None, keys=None) -> np.ndarray:
+        """images: (b, H, W, 3) uint8 (or a single (H, W, 3) image).
+
+        Randomness (most to least explicit): ``keys`` = one PRNG key per
+        image — (b,) typed keys or (b, 2) uint32 key data — row i is a
+        pure function of (image i, proto, keys[i]); ``key`` = a single
+        typed key, split into b per-item keys; ``seed`` = PRNGKey(seed)
+        then split. Same keys ⇒ same rows, however requests were
+        batched (the artifact is keyed per item)."""
         images = np.asarray(images)
         if images.ndim == 3:
             images = images[None]
-        if key is None:
-            key = jax.random.PRNGKey(seed)
-        key_data = jax.random.key_data(key).astype(jnp.uint32)
+        b = images.shape[0]
+        if keys is not None:
+            keys = jnp.asarray(keys)
+            if jnp.issubdtype(keys.dtype, jax.dtypes.prng_key):
+                keys = jax.random.key_data(keys)
+            key_data = keys.astype(jnp.uint32)
+            if key_data.shape != (b, 2):
+                raise ValueError(
+                    f"keys must be (b={b}, 2) key data or (b,) typed "
+                    f"keys; got {key_data.shape}")
+        else:
+            if key is None:
+                key = jax.random.PRNGKey(seed)
+            key_data = jax.random.key_data(
+                jax.random.split(key, b)).astype(jnp.uint32)
         out = self._gen_call(
             jnp.asarray(images, jnp.uint8), proto, key_data)
         return np.asarray(out)

@@ -237,3 +237,30 @@ def test_call_retries_transient_failures(gen, rng):
             gen(imgs, clouds)
     finally:
         gen._fn = real_fn
+
+
+def test_generate_keyed_batching_invariant(gen, rng):
+    """`generate_keyed`: row i is a pure function of (image i, proto,
+    key i) — bitwise under permutation/neighbor changes at one compiled
+    shape, float-tolerance across batch sizes (per-shape XLA fusion)."""
+    import jax
+
+    clouds = rng.standard_normal((3, NPTS, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    imgs = rng.integers(0, 256, (4, IMG, IMG, 3), dtype=np.uint8)
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+
+    batch = gen.generate_keyed(imgs, proto=proto, keys=keys)
+    assert batch.shape == (4, NPTS, 3)
+
+    perm = np.array([3, 1, 0, 2])
+    moved = gen.generate_keyed(imgs[perm], proto=proto, keys=keys[perm])
+    np.testing.assert_array_equal(moved, batch[perm])
+
+    solo = gen.generate_keyed(imgs[2:3], proto=proto, keys=keys[2:3])
+    np.testing.assert_allclose(solo[0], batch[2], rtol=1e-4, atol=1e-5)
+
+    # (Q, 2) uint32 key data is accepted and equals typed keys
+    kd = np.asarray(jax.random.key_data(keys)).astype(np.uint32)
+    np.testing.assert_array_equal(
+        gen.generate_keyed(imgs, proto=proto, keys=kd), batch)

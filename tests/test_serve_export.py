@@ -58,9 +58,9 @@ def test_roundtrip_matches_live_generator(artifacts, rng):
         np.asarray(proto_live), np.asarray(proto_exp), rtol=1e-5, atol=1e-6)
 
     key = jax.random.PRNGKey(7)
-    live = np.asarray(gen._from_proto_fn(
-        gen.variables, jnp.asarray(imgs, jnp.uint8), proto_live, key))
-    exp = g2.generate(imgs, proto_exp, key=key)
+    item_keys = jax.random.split(key, imgs.shape[0])
+    live = gen.generate_keyed(imgs, proto=proto_live, keys=item_keys)
+    exp = g2.generate(imgs, proto_exp, key=key)  # splits per item inside
     # same math, different lowering path → LSB-level fusion differences
     np.testing.assert_allclose(live, exp, rtol=1e-4, atol=1e-5)
 
@@ -117,3 +117,36 @@ def test_one_executable_across_calls(artifacts, rng):
     for s in range(3):
         g2.generate(imgs, proto, seed=s)
     assert g2._gen_call._cache_size() == misses0
+
+
+def test_per_item_keys_coalescing_invariant(artifacts, rng):
+    """The artifact is keyed PER ITEM: what a request gets cannot depend
+    on which other requests it was coalesced with. At one compiled shape
+    the guarantee is BITWISE (permuting rows / replacing neighbors moves
+    or changes nothing else); across batch sizes it holds to float
+    tolerance (per-size XLA fusion differs in the LSBs)."""
+    _, out, _ = artifacts
+    g2 = ExportedGenerator(out)
+    imgs, clouds = _inputs(rng, q=4)
+    proto = g2.prototype(clouds)
+    keys = np.asarray(jax.random.key_data(
+        jax.random.split(jax.random.PRNGKey(3), 4))).astype(np.uint32)
+
+    batch = g2.generate(imgs, proto, keys=keys)
+
+    # bitwise: permutation at the same compiled shape
+    perm = np.array([2, 0, 3, 1])
+    moved = g2.generate(imgs[perm], proto, keys=keys[perm])
+    np.testing.assert_array_equal(moved, batch[perm])
+
+    # bitwise: neighbor content at the same compiled shape
+    imgs2 = imgs.copy()
+    imgs2[3] = rng.integers(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    keys2 = keys.copy()
+    keys2[3] ^= 0xFFFF
+    other = g2.generate(imgs2, proto, keys=keys2)
+    np.testing.assert_array_equal(other[:3], batch[:3])
+
+    # cross batch size: same request alone == same row, float-level
+    solo = g2.generate(imgs[1:2], proto, keys=keys[1:2])
+    np.testing.assert_allclose(solo[0], batch[1], rtol=1e-4, atol=1e-5)
