@@ -304,11 +304,23 @@ class ImgPCProtoNet(nn.Module):
         sample from the 'template' RNG stream. Serving uses this with
         PER-ITEM draws (:func:`per_item_template_points`) so a request's
         output does not depend on which other requests it was batched
-        with (dynamic batching stays semantically invisible)."""
+        with (dynamic batching stays semantically invisible).
+
+        ``proto`` is either one shared class prototype ``(F,)`` or a
+        PER-ITEM batch ``(B, F)`` — the latter lets the dynamic batcher
+        (serve_http.py) coalesce requests for different classes into one
+        device dispatch (row i only ever sees proto row i)."""
         n_query = xq.shape[0]
         img_z = self.img_encoder(xq, False)
-        proto_mat_q = jnp.broadcast_to(
-            proto[None], (n_query, proto.shape[-1]))
+        if proto.ndim == 1:
+            proto_mat_q = jnp.broadcast_to(
+                proto[None], (n_query, proto.shape[-1]))
+        else:
+            if proto.shape[0] != n_query:
+                raise ValueError(
+                    f"per-item proto batch {proto.shape} for {n_query} "
+                    "query images")
+            proto_mat_q = proto
         return self.pc_decoder(
             jnp.concatenate([img_z, proto_mat_q], axis=1), train=False,
             template_points=template_points,

@@ -199,7 +199,10 @@ class Generator:
 
         Args:
           images: (Q, H, W, 3) uint8 or float in [-1, 1].
-          proto: precomputed class prototype from :meth:`prototype`.
+          proto: precomputed class prototype from :meth:`prototype` —
+            one shared (F,), or a PER-ITEM batch (Q, F) so one dispatch
+            can serve requests for different classes (the dynamic
+            batcher in serve_http.py coalesces across classes).
           keys: (Q,) typed PRNG key array, or (Q, 2) uint32 key data.
 
         Returns:
