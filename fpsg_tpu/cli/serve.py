@@ -35,6 +35,11 @@ def main(argv=None):
     parser.add_argument("--support_dir", type=str, default="",
                         help="Directory of <class>.npy (S, N, 3) support "
                              "clouds to register at startup;")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8-quantize the VGG image encoder for "
+                             "serving (post-training, per-channel weights "
+                             "+ dynamic activations; fpsg_tpu/serve_quant"
+                             ".py). Prototype/decoder stay full precision.")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
     conf = config_from_args(args)
@@ -43,6 +48,12 @@ def main(argv=None):
     if conf.eval_model != "NONE":
         ckpt = os.path.join(conf.model_path, conf.name, conf.eval_model)
     gen = Generator.from_checkpoint(conf, ckpt, img_size=args.img_size)
+    if args.int8:
+        from fpsg_tpu.serve_quant import QuantizedGenerator
+
+        gen = QuantizedGenerator(gen)
+        print("int8 image encoder enabled (per-channel weight quant, "
+              "dynamic per-tensor activations)")
     engine = BatchingEngine(
         gen, max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
         seed=conf.seed).start()

@@ -310,8 +310,20 @@ class ImgPCProtoNet(nn.Module):
         PER-ITEM batch ``(B, F)`` — the latter lets the dynamic batcher
         (serve_http.py) coalesce requests for different classes into one
         device dispatch (row i only ever sees proto row i)."""
-        n_query = xq.shape[0]
-        img_z = self.img_encoder(xq, False)
+        return self.decode_from_embedding(
+            self.img_encoder(xq, False), proto, template_points)
+
+    def decode_from_embedding(
+        self,
+        img_z: jax.Array,
+        proto: jax.Array,
+        template_points: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """The decoder remainder of :meth:`generate_from_proto`, from a
+        precomputed (B, 512) image embedding. Split out so alternative
+        image-encoder paths (the int8-quantized serving VGG,
+        fpsg_tpu/serve_quant.py) reuse the identical decode."""
+        n_query = img_z.shape[0]
         if proto.ndim == 1:
             proto_mat_q = jnp.broadcast_to(
                 proto[None], (n_query, proto.shape[-1]))
