@@ -125,6 +125,94 @@ def measure_stream(batch: int, dtype: str, steps: int,
     return n / dt
 
 
+def measure_int8_ab(batch: int, dtype: str, steps: int,
+                    n_support: int = 32, img: int = 224,
+                    warmup: int = 2, loop_iters: int = 20) -> dict:
+    """Paired A/B (one process, CLAUDE.md): baseline vs int8-quantized
+    generator on the SAME hot path (generate_keyed, cached proto), plus
+    an on-device fori_loop whole-encoder rate that the tunnel cannot
+    pollute (per-dispatch serving here is link-bound, 1-2 RTTs —
+    BASELINE.md round-3i — so wall-clock alone understates the chip win
+    int8_probe_device.py measured at the conv level)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.serve import Generator
+    from fpsg_tpu.serve_quant import QuantizedGenerator, quant_vgg_forward
+
+    _cache()
+    conf = FPSGConfig(config_path="x", test_path="x",
+                      compute_dtype=dtype)
+    gen = Generator.from_checkpoint(conf, img_size=img)
+    qgen = QuantizedGenerator(gen)
+    rng = np.random.default_rng(0)
+    clouds = rng.standard_normal(
+        (n_support, conf.num_pts, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    imgs = rng.integers(0, 256, (batch, img, img, 3), dtype=np.uint8)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+
+    def rate(g):
+        for _ in range(warmup):
+            out = g.generate_keyed(imgs, proto=proto, keys=keys)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = g.generate_keyed(imgs, proto=proto, keys=keys)
+        dt = time.perf_counter() - t0
+        assert np.isfinite(out).all()
+        return batch * steps / dt
+
+    base_cps, int8_cps = rate(gen), rate(qgen)
+
+    # --- on-device encoder loop: data-dependent iterations, one dispatch
+    from fpsg_tpu.data.corpus import normalize_images
+
+    x0 = jnp.asarray(normalize_images(jnp.asarray(imgs)))
+    cdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+
+    @jax.jit
+    def loop_base(variables, x):
+        def body(_, a):
+            z = gen.model.apply(
+                variables, a.astype(cdt), False,
+                method=lambda m, xq, train: m.img_encoder(xq, train))
+            return x * (1.0 + 1e-12 * jnp.mean(z).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, loop_iters, body, x)
+
+    @jax.jit
+    def loop_int8(qlayers, x):
+        def body(_, a):
+            z = quant_vgg_forward(qlayers, a)
+            return x * (1.0 + 1e-12 * jnp.mean(z))
+
+        return jax.lax.fori_loop(0, loop_iters, body, x)
+
+    def loop_ms(fn, *args, n=3):
+        r = fn(*args)
+        jax.device_get(r[0, 0, 0, 0])
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            r = fn(*args)
+            jax.device_get(r[0, 0, 0, 0])
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[n // 2] / loop_iters * 1e3
+
+    base_ms = loop_ms(loop_base, gen.variables, x0)
+    int8_ms = loop_ms(loop_int8, qgen.qlayers, x0)
+    return {
+        "batch": batch, "dtype": dtype,
+        "keyed_clouds_per_sec": {"base": round(base_cps, 2),
+                                 "int8": round(int8_cps, 2),
+                                 "ratio": round(int8_cps / base_cps, 3)},
+        "encoder_device_ms": {"base": round(base_ms, 3),
+                              "int8": round(int8_ms, 3),
+                              "speedup": round(base_ms / int8_ms, 3)},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[1, 8, 32])
@@ -137,7 +225,18 @@ def main():
     ap.add_argument("--latency", action="store_true",
                     help="per-call latency percentiles on the proto "
                          "hot path")
+    ap.add_argument("--int8", action="store_true",
+                    help="paired baseline-vs-int8 A/B on the keyed hot "
+                         "path + on-device encoder loop")
     args = ap.parse_args()
+
+    if args.int8:
+        rows = [measure_int8_ab(b, d, args.steps)
+                for d in args.dtypes for b in args.batches]
+        for r in rows:
+            print(json.dumps(r), flush=True)
+        print(json.dumps({"metric": "serve_int8_ab", "rows": rows}))
+        return
 
     if args.latency:
         rows = [measure_latency(b, d, args.steps)

@@ -36,6 +36,10 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=0,
                         help="Fixed query batch size (0 = symbolic: one "
                              "artifact serves every batch size);")
+    parser.add_argument("--int8", action="store_true",
+                        help="Bake the int8-quantized VGG image encoder "
+                             "into the artifact (fpsg_tpu/serve_quant.py"
+                             "); prototype/decoder stay full precision.")
     args = parser.parse_args(argv)
     conf = config_from_args(args)
 
@@ -50,6 +54,7 @@ def main(argv=None):
         n_points_per_cloud=conf.num_points,
         platforms=[p for p in args.platforms.split(",") if p] or None,
         batch=args.batch or None,
+        int8=args.int8,
     )
     print(f"wrote serving artifacts to {args.out}: {manifest}")
 

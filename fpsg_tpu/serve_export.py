@@ -54,6 +54,7 @@ def export_generator(
     n_points_per_cloud: int = 2048,
     platforms: Optional[Sequence[str]] = None,
     batch: Optional[int] = None,
+    int8: bool = False,
 ) -> dict:
     """Serialize ``gen``'s serving functions to ``out_dir``.
 
@@ -67,6 +68,11 @@ def export_generator(
         ``["tpu"]`` (or several, e.g. ``["tpu", "cpu"]``) to pin.
       batch: export a FIXED query batch size instead of a symbolic one
         (fallback for models whose lowering rejects symbolic shapes).
+      int8: bake the int8-quantized VGG image encoder into the generate
+        artifact (fpsg_tpu/serve_quant.py — BN-folded per-channel int8
+        weights as constants, dynamic per-tensor activation quant in the
+        graph). Prototype/decoder stay full precision. Requires the
+        vgg_16 backbone.
 
     Returns the manifest dict (also written to ``out_dir/manifest.json``).
     """
@@ -85,6 +91,19 @@ def export_generator(
     if getattr(model, "decoder_fused", None) is not None:
         model = model.clone(decoder_fused="off")
 
+    qlayers = None
+    if int8:
+        from fpsg_tpu.serve_quant import quantize_vgg
+
+        try:
+            qlayers = quantize_vgg(
+                variables["params"]["img_encoder"]["encoder"],
+                variables["batch_stats"]["img_encoder"]["encoder"])
+        except KeyError as e:
+            raise ValueError(
+                "int8 export requires the vgg_16 image backbone "
+                f"(missing {e} in the checkpoint tree)") from e
+
     def generate(xq, proto, key_data):
         # PER-ITEM keys (key_data is (b, 2) uint32): output row i is a
         # pure function of (xq[i], proto, key_data[i]) — the template
@@ -96,6 +115,14 @@ def export_generator(
 
         keys = jax.vmap(jax.random.wrap_key_data)(key_data)
         tp = per_item_template_points(model, keys)
+        if qlayers is not None:
+            from fpsg_tpu.serve_quant import quant_vgg_forward
+
+            img_z = quant_vgg_forward(qlayers, normalize_images(xq))
+            return model.apply(
+                variables, img_z, proto, tp,
+                method=model.decode_from_embedding,
+            )
         return model.apply(
             variables, normalize_images(xq), proto, tp,
             method=model.generate_from_proto,
@@ -134,6 +161,7 @@ def export_generator(
         "out_points": int(exp_gen.out_avals[0].shape[1]),
         "platforms": plats,
         "batch": "symbolic" if batch is None else int(batch),
+        "int8_encoder": bool(int8),
         "keying": "per_item",  # key_data is (b, 2): one key per image
         "jax_version": jax.__version__,
     }

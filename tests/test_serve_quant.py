@@ -143,6 +143,46 @@ def test_quant_in_dynamic_batcher(gens, rng):
         engine.stop()
 
 
+def test_int8_export_roundtrip(gens, rng, tmp_path):
+    """--int8 export bakes the quantized encoder into the StableHLO
+    artifact: manifest flags it, the symbolic-batch artifact serves, and
+    it reproduces the LIVE QuantizedGenerator (same math, different
+    lowering — near-LSB tolerance plus headroom for activation-quant
+    rounding boundary flips)."""
+    from fpsg_tpu.serve_export import ExportedGenerator, export_generator
+
+    gen, qgen = gens
+    out = str(tmp_path / "art_int8")
+    manifest = export_generator(
+        gen, out, img_size=IMG, n_support=3,
+        n_points_per_cloud=NPTS, platforms=["cpu"], int8=True,
+    )
+    assert manifest["int8_encoder"] is True
+    assert manifest["batch"] == "symbolic"
+    g2 = ExportedGenerator(out)
+    clouds = rng.standard_normal((3, NPTS, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    for q in (1, 3):
+        imgs = _images(rng, q)
+        keys = jax.random.split(jax.random.PRNGKey(q), q)
+        live = qgen.generate_keyed(imgs, proto=proto, keys=keys)
+        exp = g2.generate(imgs, proto, keys=keys)
+        assert exp.shape == (q, NPTS, 3)
+        scale = np.abs(live).max()
+        assert np.abs(exp - live).max() / scale < 0.01
+
+
+def test_int8_export_requires_vgg(tmp_path):
+    from fpsg_tpu.serve_export import export_generator
+
+    gen = Generator.from_checkpoint(
+        _conf(img_encoder="tiny"), img_size=IMG)
+    with pytest.raises(ValueError, match="vgg_16"):
+        export_generator(
+            gen, str(tmp_path / "x"), img_size=IMG, n_support=2,
+            n_points_per_cloud=NPTS, platforms=["cpu"], int8=True)
+
+
 def test_rejects_non_vgg_backbone():
     gen = Generator.from_checkpoint(
         _conf(img_encoder="tiny"), img_size=IMG)
