@@ -163,7 +163,13 @@ def measure_int8_ab(batch: int, dtype: str, steps: int,
         assert np.isfinite(out).all()
         return batch * steps / dt
 
-    base_cps, int8_cps = rate(gen), rate(qgen)
+    # INTERLEAVED A/B/A/B (BASELINE.md round-3k): sequential paired
+    # legs straddle tunnel link phases — a base leg in a slow phase
+    # once printed a spurious 1.78x "int8 win" that an A/B/A/B showed
+    # to be neutral. Two legs each, mean of means.
+    legs = [rate(g) for g in (gen, qgen, gen, qgen)]
+    base_cps = (legs[0] + legs[2]) / 2
+    int8_cps = (legs[1] + legs[3]) / 2
 
     # --- on-device encoder loop: data-dependent iterations, one dispatch
     from fpsg_tpu.data.corpus import normalize_images
@@ -206,7 +212,8 @@ def measure_int8_ab(batch: int, dtype: str, steps: int,
         "batch": batch, "dtype": dtype,
         "keyed_clouds_per_sec": {"base": round(base_cps, 2),
                                  "int8": round(int8_cps, 2),
-                                 "ratio": round(int8_cps / base_cps, 3)},
+                                 "ratio": round(int8_cps / base_cps, 3),
+                                 "legs_abab": [round(x, 2) for x in legs]},
         "encoder_device_ms": {"base": round(base_ms, 3),
                               "int8": round(int8_ms, 3),
                               "speedup": round(base_ms / int8_ms, 3)},

@@ -4,10 +4,16 @@ Serving is eval-mode and VGG-dominated (the query encode is ~90% of the
 generate FLOPs; BASELINE.md round-3i), and the v5e MXU runs s8 x s8 ->
 s32 at 2x its bf16 peak. The decision probe (benchmarks/
 int8_probe_device.py, on-chip fori_loop rates) measured XLA lowering
-int8 convs onto that path at 1.33-1.72x the bf16 rate for every
-large VGG conv site — so a quantized serving encoder is a real win on
-deployment hardware where the generate call is compute-bound (through
-the dev tunnel, serving is link-bound and this changes latency little).
+int8 convs onto that path at 1.33-1.72x the bf16 rate for every large
+VGG conv site. MEASURED END-TO-END, however (BASELINE.md round-3k),
+the full int8 encoder is bf16-parity at b8 and 0.86x at b32 on this
+toolchain: the per-layer dynamic-quant machinery (a full-tensor
+abs-max reduction + requant write per layer, over f32 intermediates)
+costs the conv gains back. The opt-in remains for deployment reasons
+the local chip cannot see — 4x smaller baked encoder weights in the
+exported artifacts, and serving stacks with calibration data can swap
+the dynamic scales for static ones (removing the reduction pass
+entirely, the knob that would make the conv-level win reachable).
 
 Scheme (standard TPU-friendly post-training quantization):
 
