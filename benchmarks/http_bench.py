@@ -27,6 +27,7 @@ import os
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -40,10 +41,19 @@ def _npy(arr):
     return buf.getvalue()
 
 
-def _post(url, body):
-    req = urllib.request.Request(url, data=body, method="POST")
-    with urllib.request.urlopen(req, timeout=600) as r:
-        return r.read()
+def _post(url, body, tries=5):
+    # transient connect failures (RST under a connect burst while the
+    # first dispatch compiles) retry; HTTP-level errors do not
+    for i in range(tries):
+        try:
+            req = urllib.request.Request(url, data=body, method="POST")
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return r.read()
+        except (ConnectionError, urllib.error.URLError) as e:
+            if (isinstance(e, urllib.error.HTTPError)
+                    or i == tries - 1):
+                raise
+            time.sleep(0.5 * (i + 1))
 
 
 def run_load(base: str, imgs: np.ndarray, clients: int,

@@ -437,7 +437,12 @@ def make_server(engine: BatchingEngine, host: str = "127.0.0.1",
     serve, ``.server_address`` for the bound (host, port). The engine
     must already be started."""
     handler = type("BoundHandler", (_Handler,), {"engine": engine})
-    srv = ThreadingHTTPServer((host, port), handler)
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients (the whole point of a batching frontend) gets kernel RSTs
+    # before accept() ever runs. 128 rides the dispatch latency out.
+    server_cls = type("FPSGHTTPServer", (ThreadingHTTPServer,),
+                      {"request_queue_size": 128})
+    srv = server_cls((host, port), handler)
     srv.daemon_threads = True
     srv.verbose = verbose
     return srv
