@@ -62,7 +62,8 @@ import numpy as np
 
 from fpsg_tpu.nn.vgg import VGG16_CFG
 
-__all__ = ["quantize_vgg", "quant_vgg_forward", "QuantizedGenerator"]
+__all__ = ["quantize_vgg", "quant_vgg_forward", "calibrate_act_scales",
+           "QuantizedGenerator"]
 
 _EPS = 1e-5  # nn.normalization.BatchNorm.epsilon
 
@@ -116,15 +117,44 @@ def _dyn_quant(x: jax.Array):
     return jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8), sx
 
 
+def _static_quant(x: jax.Array, sx: jax.Array):
+    """Per-tensor symmetric int8 with a FIXED scale (no reduction —
+    XLA fuses this straight into the producing conv's epilogue)."""
+    return jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+
+
 def _pool2x2_int8(xq: jax.Array) -> jax.Array:
     b, h, w, c = xq.shape
     return jnp.max(xq.reshape(b, h // 2, 2, w // 2, 2, c), axis=(2, 4))
 
 
-def quant_vgg_forward(qlayers, x: jax.Array) -> jax.Array:
+def quant_vgg_forward(qlayers, x: jax.Array, act_scales=None,
+                      return_scales: bool = False):
     """int8 VGG16-bn features: (B, H, W, 3) float in [-1, 1] -> (B, 512)
-    f32 embedding (H, W powers of two >= 32, as in the f32 path)."""
-    xq, sx = _dyn_quant(x.astype(jnp.float32))
+    f32 embedding (H, W powers of two >= 32, as in the f32 path).
+
+    Args:
+      act_scales: optional (14,) f32 — STATIC per-tensor activation
+        scales (entry 0 for the input image, entry i+1 for conv i's
+        output), from :func:`calibrate_act_scales`. With scales fixed,
+        every requantize is pure elementwise and XLA fuses the whole
+        dequant+bias+relu+requant chain into the conv epilogue — the
+        dynamic mode's per-layer abs-max reduction (an extra HBM pass
+        over f32 activations) disappears, which is what let int8 lose
+        its per-conv 1.33-1.72x advantage end-to-end (BASELINE.md
+        round-3k).
+      return_scales: also return the (14,) per-tensor scales this call
+        used (dynamic mode: computed; static mode: echoed) — the
+        calibration capture surface.
+    """
+    x = x.astype(jnp.float32)
+    static = act_scales is not None
+    if static:
+        xq = _static_quant(x, act_scales[0])
+        sx = act_scales[0]
+    else:
+        xq, sx = _dyn_quant(x)
+    scales = [sx]
     li = 0
     for v in VGG16_CFG:
         if v == "M":
@@ -139,9 +169,42 @@ def quant_vgg_forward(qlayers, x: jax.Array) -> jax.Array:
         )
         y = y.astype(jnp.float32) * (sx * layer["sw"])
         y = jnp.maximum(y + layer["b"], 0.0)
-        xq, sx = _dyn_quant(y)
+        if static:
+            sx = act_scales[li]
+            xq = _static_quant(y, sx)
+        else:
+            xq, sx = _dyn_quant(y)
+        scales.append(sx)
     # AdaptiveAvgPool2d((1,1)): global mean, dequantized
-    return jnp.mean(xq.astype(jnp.float32), axis=(1, 2)) * sx
+    out = jnp.mean(xq.astype(jnp.float32), axis=(1, 2)) * sx
+    if return_scales:
+        return out, jnp.stack(scales)
+    return out
+
+
+def calibrate_act_scales(qlayers, images_batches) -> jax.Array:
+    """Static PTQ calibration: run the DYNAMIC int8 path over
+    calibration batches and keep the elementwise MAX of the per-tensor
+    scales it computes (max |activation|/127 — the scale self-consistent
+    with the int8 path the static mode then freezes).
+
+    Args:
+      qlayers: from :func:`quantize_vgg`.
+      images_batches: iterable of (B, H, W, 3) float arrays in [-1, 1]
+        (pre-normalized, as `quant_vgg_forward` expects).
+
+    Returns:
+      (14,) f32 scales for `quant_vgg_forward(act_scales=...)`.
+    """
+    fn = jax.jit(lambda q, x: quant_vgg_forward(
+        q, x, return_scales=True)[1])
+    out = None
+    for x in images_batches:
+        s = fn(qlayers, jnp.asarray(x))
+        out = s if out is None else jnp.maximum(out, s)
+    if out is None:
+        raise ValueError("calibration needs at least one batch")
+    return out
 
 
 class QuantizedGenerator:
@@ -172,14 +235,15 @@ class QuantizedGenerator:
                 "QuantizedGenerator requires the vgg_16 image backbone "
                 f"(missing {e} in the checkpoint tree)") from e
         self.qlayers = quantize_vgg(enc_p, enc_s)
+        self.act_scales = None          # dynamic quant until calibrated
         model = self.model
 
-        def _keyed(qlayers, variables, xq, proto, keys):
+        def _keyed(qlayers, variables, xq, proto, keys, act_scales):
             if jnp.issubdtype(xq.dtype, jnp.integer):
                 from fpsg_tpu.data.corpus import normalize_images
 
                 xq = normalize_images(xq)
-            img_z = quant_vgg_forward(qlayers, xq)
+            img_z = quant_vgg_forward(qlayers, xq, act_scales)
             from fpsg_tpu.models.protonet import per_item_template_points
 
             tp = per_item_template_points(model, keys)
@@ -189,12 +253,32 @@ class QuantizedGenerator:
 
         self._keyed_fn = jax.jit(_keyed)
         self._embed_fn = jax.jit(
-            lambda qlayers, xq: quant_vgg_forward(qlayers, xq))
+            lambda qlayers, xq, act_scales: quant_vgg_forward(
+                qlayers, xq, act_scales))
+
+    def calibrate(self, images, batch: int = 8) -> jax.Array:
+        """Freeze STATIC activation scales from calibration images
+        (uint8 or [-1, 1] float, (N, H, W, 3)); subsequent calls use
+        the fused static-quant path (no per-layer reductions). Returns
+        the (14,) scales. Deployment should calibrate on real data;
+        drift vs the dynamic path is bounded in tests on the same
+        distribution."""
+        images = np.asarray(images)
+        if np.issubdtype(images.dtype, np.integer):
+            from fpsg_tpu.data.corpus import normalize_images
+
+            images = np.asarray(normalize_images(jnp.asarray(
+                images.astype(np.uint8))))
+        batches = [images[i:i + batch].astype(np.float32)
+                   for i in range(0, len(images), batch)]
+        self.act_scales = calibrate_act_scales(self.qlayers, batches)
+        return self.act_scales
 
     def embed(self, images: jax.Array) -> jax.Array:
         """int8 image embedding (test/diagnostic surface): float images
         in [-1, 1] -> (B, 512) f32."""
-        return self._embed_fn(self.qlayers, jnp.asarray(images))
+        return self._embed_fn(self.qlayers, jnp.asarray(images),
+                              self.act_scales)
 
     def prototype(self, support_clouds) -> jax.Array:
         return self._base.prototype(support_clouds)
@@ -222,7 +306,8 @@ class QuantizedGenerator:
 
         def compute():
             out = self._keyed_fn(self.qlayers, self.variables, xq,
-                                 jnp.asarray(proto), keys)
+                                 jnp.asarray(proto), keys,
+                                 self.act_scales)
             return np.asarray(out)
 
         return retry_readonly(compute, retries=self._retries)

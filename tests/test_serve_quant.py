@@ -143,6 +143,62 @@ def test_quant_in_dynamic_batcher(gens, rng):
         engine.stop()
 
 
+def test_static_calibration_matches_dynamic_on_calib_batch(gens, rng):
+    """Calibrating on exactly the batch being evaluated freezes the
+    very scales the dynamic path would compute for it, so the static
+    path must reproduce the dynamic path BITWISE on that batch."""
+    gen, qgen_dyn = gens
+    qgen = QuantizedGenerator(gen)      # fresh: don't mutate the fixture
+    imgs = _images(rng, 4)
+    clouds = rng.standard_normal((3, NPTS, 3)).astype(np.float32) * 0.3
+    proto = gen.prototype(clouds)
+    keys = jax.random.split(jax.random.PRNGKey(5), 4)
+    dyn = qgen_dyn.generate_keyed(imgs, proto=proto, keys=keys)
+    scales = qgen.calibrate(imgs)
+    assert np.asarray(scales).shape == (14,)
+    assert (np.asarray(scales) > 0).all()
+    stat = qgen.generate_keyed(imgs, proto=proto, keys=keys)
+    np.testing.assert_array_equal(stat, dyn)
+
+
+def test_static_calibration_makes_coalescing_invisible(gens, rng):
+    """DYNAMIC activation scales are batch-global: row i's quantization
+    depends on every other row in the coalesced batch, so the batcher's
+    served-alone == served-coalesced bit-identity does NOT hold for the
+    uncalibrated int8 path (drift stays within the quant tolerance, but
+    bits differ). STATIC scales restore the contract exactly: alone vs
+    inside a batch of strangers must be bitwise identical."""
+    gen, _ = gens
+    qgen = QuantizedGenerator(gen)
+    calib = rng.uniform(-1, 1, (16, IMG, IMG, 3)).astype(np.float32)
+    qgen.calibrate(calib)
+    clouds = rng.standard_normal((3, NPTS, 3)).astype(np.float32) * 0.3
+    proto = np.asarray(gen.prototype(clouds))
+    imgs = _images(rng, 4)
+    keys = np.stack([np.array([0, s], np.uint32) for s in range(4)])
+    batch = qgen.generate_keyed(imgs, proto=np.tile(proto, (4, 1)),
+                                keys=keys)
+    alone = qgen.generate_keyed(imgs[2:3], proto=proto[None],
+                                keys=keys[2:3])
+    np.testing.assert_array_equal(alone[0], batch[2])
+
+
+def test_static_calibration_drift_bounded_off_distribution(gens, rng):
+    """Scales frozen on one sample of the input distribution must still
+    serve OTHER inputs from it: embedding drift vs f32 stays within the
+    dynamic path's bound (clipping only bites values above every
+    calibration max)."""
+    gen, _ = gens
+    qgen = QuantizedGenerator(gen)
+    qgen.calibrate(rng.uniform(-1, 1, (16, IMG, IMG, 3))
+                   .astype(np.float32))
+    x = rng.uniform(-1, 1, (4, IMG, IMG, 3)).astype(np.float32)
+    zf = np.asarray(_embed_f32(gen, x))
+    zq = np.asarray(qgen.embed(x))
+    rel = np.linalg.norm(zq - zf) / np.linalg.norm(zf)
+    assert rel < 0.06, f"static-calibrated embedding drift {rel:.4f}"
+
+
 def test_int8_export_roundtrip(gens, rng, tmp_path):
     """--int8 export bakes the quantized encoder into the StableHLO
     artifact: manifest flags it, the symbolic-batch artifact serves, and
