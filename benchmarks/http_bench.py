@@ -89,6 +89,30 @@ def run_load(base: str, imgs: np.ndarray, clients: int,
     return clients * per_client / dt
 
 
+def warm_buckets(base: str, imgs: np.ndarray, buckets, max_rounds=10):
+    """Deterministically compile every dispatch bucket BEFORE the timed
+    leg: a bucket first hit mid-measurement inserts a multi-minute
+    remote TPU compile into the measured rate. Fires exact bucket-size
+    concurrent bursts and loops until /v1/stats's batch_size_hist shows
+    every bucket observed."""
+    for _ in range(max_rounds):
+        stats = json.loads(urllib.request.urlopen(
+            base + "/v1/stats", timeout=30).read())
+        seen = {int(k) for k in stats["batch_size_hist"]}
+        missing = [b for b in buckets if b not in seen]
+        if not missing:
+            return
+        for b in missing:
+            run_load(base, imgs, clients=b, per_client=1)
+    stats = json.loads(urllib.request.urlopen(
+        base + "/v1/stats", timeout=30).read())
+    seen = {int(k) for k in stats["batch_size_hist"]}
+    missing = [b for b in buckets if b not in seen]
+    if missing:
+        print(f"WARNING: buckets {missing} never coalesced during warm "
+              "(timed leg may include a compile)", file=sys.stderr)
+
+
 def measure(max_batch: int, clients: int, per_client: int,
             dtype: str, n_support: int = 32, img: int = 224) -> dict:
     from fpsg_tpu.config import FPSGConfig
@@ -118,7 +142,8 @@ def measure(max_batch: int, clients: int, per_client: int,
     base = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
     try:
         _post(base + "/v1/classes/bench", _npy(clouds))
-        run_load(base, imgs, clients, 2)          # warm every bucket
+        run_load(base, imgs, clients, 2)          # warm the common path
+        warm_buckets(base, imgs, buckets)         # compile EVERY bucket
         cps = run_load(base, imgs, clients, per_client)
         stats = json.loads(urllib.request.urlopen(
             base + "/v1/stats", timeout=30).read())

@@ -267,6 +267,11 @@ class QuantizedGenerator:
         if np.issubdtype(images.dtype, np.integer):
             from fpsg_tpu.data.corpus import normalize_images
 
+            if images.min() < 0 or images.max() > 255:
+                raise ValueError(
+                    "integer calibration images must be uint8-range "
+                    f"pixels (got min={images.min()}, max={images.max()})"
+                    " — wrapping the cast would corrupt the scales")
             images = np.asarray(normalize_images(jnp.asarray(
                 images.astype(np.uint8))))
         batches = [images[i:i + batch].astype(np.float32)

@@ -163,11 +163,15 @@ def test_static_calibration_matches_dynamic_on_calib_batch(gens, rng):
 
 def test_static_calibration_makes_coalescing_invisible(gens, rng):
     """DYNAMIC activation scales are batch-global: row i's quantization
-    depends on every other row in the coalesced batch, so the batcher's
-    served-alone == served-coalesced bit-identity does NOT hold for the
-    uncalibrated int8 path (drift stays within the quant tolerance, but
-    bits differ). STATIC scales restore the contract exactly: alone vs
-    inside a batch of strangers must be bitwise identical."""
+    depends on every other row in the coalesced batch, so cross-row
+    independence does NOT hold for the uncalibrated int8 path (drift
+    stays within the quant tolerance, but bits differ). STATIC scales
+    restore cross-row independence: at a FIXED compiled shape, row i's
+    output must be bitwise identical no matter which strangers share
+    the batch. (Bitwise identity across DIFFERENT batch sizes is not
+    promised by any path here — per-shape XLA fusion yields ULP drift,
+    see tests/test_serve.py — so the batch-1-vs-batch-4 comparison is
+    an allclose, not an equality.)"""
     gen, _ = gens
     qgen = QuantizedGenerator(gen)
     calib = rng.uniform(-1, 1, (16, IMG, IMG, 3)).astype(np.float32)
@@ -178,9 +182,20 @@ def test_static_calibration_makes_coalescing_invisible(gens, rng):
     keys = np.stack([np.array([0, s], np.uint32) for s in range(4)])
     batch = qgen.generate_keyed(imgs, proto=np.tile(proto, (4, 1)),
                                 keys=keys)
+    # Same compiled shape, different strangers in rows 0/1/3: row 2
+    # must not move by a single bit.
+    imgs2 = imgs.copy()
+    imgs2[[0, 1, 3]] = _images(rng, 3)
+    keys2 = keys.copy()
+    keys2[[0, 1, 3]] = np.stack(
+        [np.array([7, s], np.uint32) for s in (10, 11, 12)])
+    batch2 = qgen.generate_keyed(imgs2, proto=np.tile(proto, (4, 1)),
+                                 keys=keys2)
+    np.testing.assert_array_equal(batch2[2], batch[2])
+    # Across compiled shapes (batch 1 vs 4): numerically equal only.
     alone = qgen.generate_keyed(imgs[2:3], proto=proto[None],
                                 keys=keys[2:3])
-    np.testing.assert_array_equal(alone[0], batch[2])
+    np.testing.assert_allclose(alone[0], batch[2], rtol=1e-4, atol=1e-6)
 
 
 def test_static_calibration_drift_bounded_off_distribution(gens, rng):
