@@ -57,6 +57,16 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 # padding FLOPs are waste that should not count toward utilization.
 MODEL_STEP_TFLOP = 2.3
 
+# Same accounting with pc_backbone=dgcnn (--pc-backbone dgcnn).
+# DGCNN encoder on the 65x2048 episode clouds, k=20: the decomposed
+# EdgeConv applies each conv ONCE per point (nn/dgcnn.py — FLOPs do not
+# scale with k): matmuls [Z||U] 133k-pts x (3->128, 64->128, 64->256,
+# 128->512) + conv5 512->512 ~0.094 TF fwd x3 = 0.28; kNN pairwise
+# x@x^T per layer ~0.14 TF (fwd only, index backward is a replay);
+# VGG 1.53 + decoder 0.6 + misc 0.07 => ~2.6 TF. The dgcnn step is
+# gather/bandwidth-bound, so MFU against this count is expected low.
+MODEL_STEP_TFLOP_DGCNN = 2.6
+
 
 def _enable_compile_cache():
     import jax
@@ -74,7 +84,8 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
                  steps_per_call: int = 8,
                  fused_conv: bool = False,
                  winograd: bool = False,
-                 bf16_moments: bool = False) -> float:
+                 bf16_moments: bool = False,
+                 pc_backbone: str = "pointnet") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -89,7 +100,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
     n_support, n_query, n_pts, img = 32, 1, 2048, 224
     model = ImgPCProtoNet(
         img_backbone="vgg_16",
-        pc_backbone="pointnet",
+        pc_backbone=pc_backbone,
         intra_support=True,
         dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
         fused_conv=fused_conv,
@@ -179,6 +190,11 @@ def main():
                     choices=["f32", "bf16"],
                     help="mixed-precision compute dtype (params/BN stats/"
                          "losses stay f32 either way)")
+    ap.add_argument("--pc-backbone", type=str, default="pointnet",
+                    choices=["pointnet", "dgcnn"],
+                    help="point-cloud encoder backbone (reference "
+                         "--pc_encoder, src/trainNetwork.py:226); dgcnn "
+                         "reports its own metric line")
     args = ap.parse_args()
 
     # Fail fast (not hang) when the axon TPU tunnel is unreachable:
@@ -212,7 +228,8 @@ def main():
                 args.episodes_per_step, args.steps, args.warmup,
                 args.compute_dtype, steps_per_call=args.steps_per_call,
                 fused_conv=args.fused_conv, winograd=args.winograd,
-                bf16_moments=args.bf16_moments)
+                bf16_moments=args.bf16_moments,
+                pc_backbone=args.pc_backbone)
             break
         except Exception as e:  # noqa: BLE001 — report, cool down, retry
             last_err = e
@@ -225,16 +242,22 @@ def main():
                 time.sleep(60.0 * (attempt + 1))
     else:
         raise last_err
+    dgcnn = args.pc_backbone == "dgcnn"
+    step_tflop = MODEL_STEP_TFLOP_DGCNN if dgcnn else MODEL_STEP_TFLOP
     out = {
-        "metric": "episodes_per_sec_modelnet_1way_32shot_intra",
+        "metric": "episodes_per_sec_modelnet_1way_32shot_intra"
+                  + ("_dgcnn" if dgcnn else ""),
         "value": round(eps, 3),
         "unit": "episodes/s",
+        "pc_backbone": args.pc_backbone,
         "fused_conv": args.fused_conv,
         "winograd": args.winograd,
         "bf16_moments": args.bf16_moments,
         # estimated reference-on-CUDA throughput (module docstring);
         # understates the speedup (reference dispatch/H2D overheads not
-        # modeled)
+        # modeled). The estimate models the POINTNET step; the reference
+        # dgcnn step is strictly larger (its EdgeConv convs scale with
+        # k=20 — ours don't), so for dgcnn this ratio understates more.
         "vs_baseline": round(eps / GPU_ESTIMATE_BASELINE_EPS, 2),
         "baseline_provenance": (
             "estimate: reference ~3 TFLOP step at an optimistic "
@@ -243,8 +266,8 @@ def main():
         ),
         # weak-but-measured provenance ratio (torch on this host's CPU)
         "vs_torch_cpu_measured": round(eps / cpu_baseline, 2),
-        "step_tflop_model": MODEL_STEP_TFLOP,
-        "mfu": round(eps * MODEL_STEP_TFLOP / V5E_BF16_PEAK_TFLOPS, 4),
+        "step_tflop_model": step_tflop,
+        "mfu": round(eps * step_tflop / V5E_BF16_PEAK_TFLOPS, 4),
     }
     print(json.dumps(out))
 

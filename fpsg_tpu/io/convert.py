@@ -108,8 +108,27 @@ def load_pretrained_pc_encoder(path: str, core: str = "pointnet"):
     ``pc_encoder.conv{i}.{0,1}.*`` (dgcnn). Our PCEncoder wraps the backbone
     under module name ``pc_encoder`` with matching inner names, so after the
     sequential-index fixup the paths line up 1:1.
+
+    The checkpoint's key set is validated against ``core`` BEFORE
+    conversion: the reference's own shipped
+    ``pretrain_dgcnn/pretrained_pcencoder_dgcnn.pt`` actually contains a
+    POINTNET state dict (keys ``pc_encoder.pointnet_feat_extractor.*`` —
+    packaging bug; the reference's strict ``load_state_dict`` at
+    ``src/trainNetwork.py:60`` would crash on it too). We fail with a
+    diagnosis instead of a shape error deep inside flax.
     """
     sd = load_torch_checkpoint(path)
+    is_pointnet_sd = any("pointnet_feat_extractor" in k for k in sd)
+    want_pointnet = core == "pointnet"
+    if is_pointnet_sd != want_pointnet:
+        raise ValueError(
+            f"{path} holds a "
+            f"{'pointnet' if is_pointnet_sd else 'dgcnn'} state dict but "
+            f"--pc_encoder is {core!r}. (Note: the reference repo ships "
+            "a pointnet state dict under "
+            "pretrain_dgcnn/pretrained_pcencoder_dgcnn.pt — its own "
+            "loader would reject it as well; see PARITY.md §5.1.)"
+        )
     if core == "dgcnn":
         remapped = {}
         for key, val in sd.items():
@@ -117,6 +136,14 @@ def load_pretrained_pc_encoder(path: str, core: str = "pointnet"):
             assert parts[0] == "pc_encoder", key
             mod, leaf = tuple(parts[1:-1]), parts[-1]
             new = ("pc_encoder",) + _map_dgcnn_keys(mod) + (leaf,)
+            val = np.asarray(val)
+            # Reference EdgeConv convs are Conv2d(k=1): (O, I, 1, 1).
+            # Our decomposed EdgeConv applies them as a Dense over the
+            # [x || x_j - x] channel axis (nn/dgcnn.py), so squeeze to
+            # Conv1d(k=1) shape and let the generic rule emit (I, O).
+            if leaf == "weight" and val.ndim == 4:
+                assert val.shape[-2:] == (1, 1), (key, val.shape)
+                val = val[:, :, :, 0]
             remapped[".".join(new)] = val
         sd = remapped
     return torch_state_dict_to_flax(sd)

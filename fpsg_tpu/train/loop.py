@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import statistics
+import sys
 from collections import defaultdict
 from typing import Dict, Optional
 
@@ -28,7 +29,9 @@ from fpsg_tpu.io.checkpoints import (
 )
 from fpsg_tpu.models import ImgPCProtoNet
 from fpsg_tpu.train.optim import make_optimizer
-from fpsg_tpu.train.retry import retry_readonly, transient_cooldown
+from fpsg_tpu.train.retry import (
+    is_deterministic_error, retry_readonly, transient_cooldown,
+)
 from fpsg_tpu.train.state import TrainState
 from fpsg_tpu.train.step import init_model, make_eval_step, make_train_step
 from fpsg_tpu.utils.logging import RunLogger
@@ -109,6 +112,25 @@ def load_pretrained_weights(variables: Dict, conf: FPSGConfig) -> Dict:
             _merge_subtree(
                 variables[coll], ("img_encoder", "encoder"), loaded[coll]
             )
+    elif conf.img_encoder.startswith("vgg"):
+        # The reference silently downloads ImageNet weights at model
+        # build (src/models/image_net.py:14); in a zero-egress run the
+        # equivalent file must be supplied. Starting the image branch
+        # from random init is almost never what a reference user wants
+        # — warn LOUDLY instead of silently diverging.
+        msg = (
+            f"--img_encoder_path points to a missing file: "
+            f"{conf.img_encoder_path!r}"
+            if conf.img_encoder_path else "--img_encoder_path not set"
+        )
+        print(
+            f"WARNING: {msg} — the {conf.img_encoder} image branch "
+            "starts from RANDOM init (the reference always uses "
+            "ImageNet-pretrained weights). On a connected host run\n"
+            "  python -m fpsg_tpu.cli.fetch_vgg16 --out vgg16_bn.pt\n"
+            "and pass --img_encoder_path vgg16_bn.pt (see MIGRATION.md).",
+            file=sys.stderr,
+        )
     return variables
 
 
@@ -543,7 +565,8 @@ def train_network(conf: FPSGConfig) -> TrainState:
             _emergency_save(epoch)
             raise
         except Exception as exc:  # noqa: BLE001 — backend transients
-            if snap is None or attempt >= retries:
+            if (snap is None or attempt >= retries
+                    or is_deterministic_error(exc)):
                 _emergency_save(epoch)
                 raise
             attempt += 1

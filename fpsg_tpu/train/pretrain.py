@@ -24,7 +24,7 @@ from fpsg_tpu.io.checkpoints import save_checkpoint
 from fpsg_tpu.models.protonet import PCEncoder
 from fpsg_tpu.models.support import AuxClassifier
 from fpsg_tpu.train.optim import make_optimizer
-from fpsg_tpu.train.retry import transient_cooldown
+from fpsg_tpu.train.retry import is_deterministic_error, transient_cooldown
 from fpsg_tpu.train.state import TrainState
 from fpsg_tpu.utils.logging import RunLogger
 
@@ -235,7 +235,8 @@ def pretrain_pc_encoder(conf: PretrainConfig) -> Tuple[TrainState, str]:
         except KeyboardInterrupt:
             raise
         except Exception as exc:  # noqa: BLE001 — backend transients
-            if snap is None or attempt >= retries:
+            if (snap is None or attempt >= retries
+                    or is_deterministic_error(exc)):
                 # the snapshot is a host copy — always saveable; leave a
                 # resumable encoder checkpoint behind before giving up
                 if snap is not None:

@@ -24,6 +24,19 @@ def transient_cooldown() -> None:
         time.sleep(RETRY_COOLDOWN_S)
 
 
+def is_deterministic_error(exc: BaseException) -> bool:
+    """True for errors a replay can NEVER fix, so the loops fail fast
+    instead of burning replay attempts. Deliberately narrow: flax
+    module/param errors are structural (e.g. a mis-grafted checkpoint).
+    ValueError is NOT here — the axon layout-poison transient surfaces
+    as one (CLAUDE.md platform quirks)."""
+    try:
+        from flax.errors import FlaxError
+    except ImportError:  # pragma: no cover - flax always present
+        return False
+    return isinstance(exc, FlaxError)
+
+
 def retry_readonly(fn, retries: int = 2):
     """Run ``fn()`` with bounded retry + cooldown.
 

@@ -94,6 +94,118 @@ def test_train_cli_end_to_end(fake_dataset, tmp_path):
     assert any(f.endswith("_gt.npy") for f in dumped)
 
 
+DGCNN_CKPT = ("/root/reference/checkpoint/pretrain_dgcnn/"
+              "pretrained_pcencoder_dgcnn.pt")
+
+
+def _make_legacy_dgcnn_ckpt(path):
+    """A reference-layout dgcnn pc-encoder state dict (Sequential
+    conv{i}.{0,1}, Conv2d(k=1) bias-free — src/dgcnn/model.py:53-57),
+    saved with torch.save like the reference's pretrainer would."""
+    import torch
+
+    g = torch.Generator().manual_seed(0)
+    sd = {}
+    for name, cin, cout, conv1d in [
+        ("conv1", 6, 64, False), ("conv2", 128, 64, False),
+        ("conv3", 128, 128, False), ("conv4", 256, 256, False),
+        ("conv5", 512, 512, True),
+    ]:
+        wshape = (cout, cin, 1) if conv1d else (cout, cin, 1, 1)
+        sd[f"pc_encoder.{name}.0.weight"] = torch.randn(
+            wshape, generator=g) * 0.1
+        sd[f"pc_encoder.{name}.1.weight"] = torch.rand(
+            (cout,), generator=g) + 0.5
+        sd[f"pc_encoder.{name}.1.bias"] = torch.randn(
+            (cout,), generator=g) * 0.1
+        sd[f"pc_encoder.{name}.1.running_mean"] = torch.randn(
+            (cout,), generator=g) * 0.1
+        sd[f"pc_encoder.{name}.1.running_var"] = torch.rand(
+            (cout,), generator=g) + 0.5
+        sd[f"pc_encoder.{name}.1.num_batches_tracked"] = torch.tensor(7)
+    torch.save(sd, path)
+    return sd
+
+
+def test_train_cli_dgcnn_backbone(fake_dataset, tmp_path):
+    """--pc_encoder dgcnn end-to-end (reference trainNetwork.py:226):
+    a reference-layout legacy dgcnn checkpoint ingests into the trainer
+    (trainNetwork.py:57-60), trains, checkpoints, and the grafted
+    weights are bitwise the converted ones."""
+    from fpsg_tpu.cli.trainNetwork import main as train_main
+
+    legacy = str(tmp_path / "legacy_dgcnn.pt")
+    sd = _make_legacy_dgcnn_ckpt(legacy)
+
+    ckpt_dir = str(tmp_path / "ckpt_dgcnn")
+    args = _train_args(fake_dataset, ckpt_dir, epochs=1)
+    args[args.index("--pc_encoder_path") + 1] = legacy
+    train_main(args + ["--pc_encoder", "dgcnn", "--n_episode", "2",
+                       "--eval_interval", "1", "--eval_episodes", "2"])
+    run_dir = os.path.join(ckpt_dir, "cli_test")
+    assert any(f.startswith("model_epoch_1") for f in os.listdir(run_dir))
+    logs = [f for f in os.listdir(run_dir) if f.startswith("log_")]
+    text = open(os.path.join(run_dir, logs[0])).read()
+    assert "Training Results for Epoch -- 1" in text
+
+    # the graft really took: fresh state holds the converted weights
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.train.loop import build_model, make_state
+    from fpsg_tpu.train.optim import make_optimizer
+
+    conf = FPSGConfig(
+        img_encoder="tiny", pc_encoder="dgcnn",
+        pc_encoder_path=legacy, num_pts=128, n_shot=3, n_query=1,
+    )
+    state = make_state(build_model(conf), conf, make_optimizer(),
+                       img_size=16)
+    enc = state.params["pc_encoder_wrap"]["pc_encoder"]
+    np.testing.assert_array_equal(
+        np.asarray(enc["conv1"]["conv"]["kernel"]),
+        sd["pc_encoder.conv1.0.weight"].numpy()[:, :, 0, 0].T)
+    np.testing.assert_array_equal(
+        np.asarray(enc["conv5"]["kernel"]),
+        sd["pc_encoder.conv5.0.weight"].numpy()[:, :, 0].T)
+    stats = state.batch_stats["pc_encoder_wrap"]["pc_encoder"]
+    np.testing.assert_array_equal(
+        np.asarray(stats["conv3"]["bn"]["var"]),
+        sd["pc_encoder.conv3.1.running_var"].numpy())
+
+
+@pytest.mark.skipif(not os.path.exists(DGCNN_CKPT),
+                    reason="shipped dgcnn checkpoint not present")
+def test_shipped_dgcnn_checkpoint_mismatch_is_diagnosed():
+    """The reference repo ships a POINTNET state dict under
+    pretrain_dgcnn/pretrained_pcencoder_dgcnn.pt (packaging bug — the
+    reference's own strict load_state_dict would crash on it). Loading
+    it as dgcnn must fail with a diagnosis, not a flax shape error;
+    loading it as pointnet works (it IS a pointnet encoder)."""
+    from fpsg_tpu.io.convert import load_pretrained_pc_encoder
+
+    with pytest.raises(ValueError, match="pointnet state dict"):
+        load_pretrained_pc_encoder(DGCNN_CKPT, "dgcnn")
+    loaded = load_pretrained_pc_encoder(DGCNN_CKPT, "pointnet")
+    assert "pointnet_feat_extractor" in loaded["params"]["pc_encoder"]
+
+
+def test_random_init_vgg_warns_loudly(capsys):
+    """No --img_encoder_path with a vgg branch → loud stderr warning
+    naming the fetch recipe (the reference always trains from ImageNet
+    weights; silently random-initializing would diverge silently)."""
+    from fpsg_tpu.config import FPSGConfig
+    from fpsg_tpu.train.loop import load_pretrained_weights
+
+    conf = FPSGConfig(img_encoder="vgg_16")
+    load_pretrained_weights({"params": {}, "batch_stats": {}}, conf)
+    err = capsys.readouterr().err
+    assert "RANDOM init" in err and "fetch_vgg16" in err
+
+    # tiny encoder (test-only backbone): no warning
+    conf = FPSGConfig(img_encoder="tiny")
+    load_pretrained_weights({"params": {}, "batch_stats": {}}, conf)
+    assert "RANDOM init" not in capsys.readouterr().err
+
+
 def test_pretrain_cli(tmp_path):
     from fpsg_tpu.cli.trainPointAE import main as pretrain_main
 

@@ -261,3 +261,18 @@ def test_dp_mesh_retry_restores_sharded_state(tmp_path, monkeypatch):
             np.asarray(a), np.asarray(b)),
         ref, _final_params(state),
     )
+
+
+def test_deterministic_errors_fail_fast():
+    """Structural (flax) errors can never be fixed by a replay — the
+    classifier routes them to fail-fast; backend transients (including
+    the axon layout-poison ValueError, CLAUDE.md) stay retryable."""
+    from flax.errors import ScopeParamNotFoundError
+
+    from fpsg_tpu.train.retry import is_deterministic_error
+
+    assert is_deterministic_error(
+        ScopeParamNotFoundError("kernel", "/x"))
+    assert not is_deterministic_error(
+        ValueError("Layout passed to jit does not match"))
+    assert not is_deterministic_error(RuntimeError("INVALID_ARGUMENT"))
