@@ -85,7 +85,8 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
                  fused_conv: bool = False,
                  winograd: bool = False,
                  bf16_moments: bool = False,
-                 pc_backbone: str = "pointnet") -> float:
+                 pc_backbone: str = "pointnet",
+                 pc_dist: str = "cd") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -101,6 +102,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
     model = ImgPCProtoNet(
         img_backbone="vgg_16",
         pc_backbone=pc_backbone,
+        metric=pc_dist,
         intra_support=True,
         dtype=jnp.bfloat16 if compute_dtype == "bf16" else None,
         fused_conv=fused_conv,
@@ -195,6 +197,11 @@ def main():
                     help="point-cloud encoder backbone (reference "
                          "--pc_encoder, src/trainNetwork.py:226); dgcnn "
                          "reports its own metric line")
+    ap.add_argument("--pc-dist", type=str, default="cd",
+                    choices=["cd", "emd"],
+                    help="training reconstruction metric (the reference "
+                         "flag it parses but drops, src/trainNetwork.py"
+                         ":250); emd reports its own metric line")
     args = ap.parse_args()
 
     # Fail fast (not hang) when the axon TPU tunnel is unreachable:
@@ -229,7 +236,7 @@ def main():
                 args.compute_dtype, steps_per_call=args.steps_per_call,
                 fused_conv=args.fused_conv, winograd=args.winograd,
                 bf16_moments=args.bf16_moments,
-                pc_backbone=args.pc_backbone)
+                pc_backbone=args.pc_backbone, pc_dist=args.pc_dist)
             break
         except Exception as e:  # noqa: BLE001 — report, cool down, retry
             last_err = e
@@ -246,10 +253,12 @@ def main():
     step_tflop = MODEL_STEP_TFLOP_DGCNN if dgcnn else MODEL_STEP_TFLOP
     out = {
         "metric": "episodes_per_sec_modelnet_1way_32shot_intra"
-                  + ("_dgcnn" if dgcnn else ""),
+                  + ("_dgcnn" if dgcnn else "")
+                  + ("_emd" if args.pc_dist == "emd" else ""),
         "value": round(eps, 3),
         "unit": "episodes/s",
         "pc_backbone": args.pc_backbone,
+        "pc_dist": args.pc_dist,
         "fused_conv": args.fused_conv,
         "winograd": args.winograd,
         "bf16_moments": args.bf16_moments,

@@ -166,10 +166,16 @@ def main():
                     help="image side (reduce for a CPU smoke run)")
     ap.add_argument("--no-ab", action="store_true",
                     help="skip the max_batch=1 baseline leg")
+    ap.add_argument("--ab-rounds", type=int, default=1,
+                    help="interleave the A/B legs this many times "
+                         "(A/B/A/B...): sequential paired legs can "
+                         "straddle tunnel link phases (CLAUDE.md "
+                         "measurement rule)")
     args = ap.parse_args()
 
     rows = []
-    legs = [args.max_batch] if args.no_ab else [1, args.max_batch]
+    legs = ([args.max_batch] if args.no_ab
+            else [1, args.max_batch] * max(1, args.ab_rounds))
     for mb in legs:
         # unbatched leg: same request COUNT, fewer per client, or it
         # takes minutes at 1-2 tunnel RTTs per request
@@ -178,9 +184,14 @@ def main():
         rows.append(r)
         print(json.dumps(r), flush=True)
     out = {"metric": "http_serving", "dtype": args.dtype, "rows": rows}
-    if len(rows) == 2 and rows[0]["clouds_per_sec"]:
+    a = [r["clouds_per_sec"] for r in rows if r["max_batch"] == 1]
+    b = [r["clouds_per_sec"] for r in rows if r["max_batch"] != 1]
+    if a and b:
         out["batching_speedup"] = round(
-            rows[1]["clouds_per_sec"] / rows[0]["clouds_per_sec"], 2)
+            (sum(b) / len(b)) / (sum(a) / len(a)), 2)
+        if len(a) > 1:
+            out["per_round_speedup"] = [
+                round(y / x, 2) for x, y in zip(a, b)]
     print(json.dumps(out))
 
 

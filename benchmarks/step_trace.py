@@ -15,6 +15,15 @@ from benchmarks.vgg_trace import trace_and_parse
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pc-backbone", type=str, default="pointnet",
+                    choices=["pointnet", "dgcnn"])
+    ap.add_argument("--pc-dist", type=str, default="cd",
+                    choices=["cd", "emd"])
+    ap.add_argument("--out", type=str, default="/tmp/step_trace")
+    args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/.cache/jax_fpsg")
@@ -29,7 +38,8 @@ def main():
 
     S, Q, NPTS, IMG = 32, 1, 2048, 224
     model = ImgPCProtoNet(
-        img_backbone="vgg_16", pc_backbone="pointnet",
+        img_backbone="vgg_16", pc_backbone=args.pc_backbone,
+        metric=args.pc_dist,
         intra_support=True, dtype=jnp.bfloat16,
     )
     corpus = DeviceCorpus.build(synthetic_corpus(
@@ -55,7 +65,7 @@ def main():
     # ops that the donating production path never runs).
     state, _ = step(state, corpus, key)
     trace_and_parse(lambda st, k: step(st, corpus, k),
-                    (state, key), "/tmp/step_trace", steps=3)
+                    (state, key), args.out, steps=3)
 
 
 if __name__ == "__main__":

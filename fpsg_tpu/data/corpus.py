@@ -75,7 +75,31 @@ class DeviceCorpus:
         for i, (im, pc) in enumerate(zip(corpus.images, corpus.clouds)):
             images[i, : len(im)] = im
             clouds[i, : len(pc)] = pc
-        put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+        put0 = (lambda x: jax.device_put(x, device)) if device \
+            else jnp.asarray
+
+        def put(x):
+            # Host->device uploads through the axon tunnel fail in
+            # bursts with bare `INVALID_ARGUMENT: TPU backend error`
+            # (CLAUDE.md platform quirks; observed 2026-08-20 failing
+            # the corpus upload specifically while other transfers in
+            # neighboring processes succeeded). The upload is free of
+            # side effects — retry in place with a short cool-down
+            # before bubbling up to the coarser loop-level armor.
+            last = None
+            for attempt in range(4):
+                try:
+                    return put0(x)
+                except Exception as exc:  # noqa: BLE001 — backend flake
+                    if "INVALID_ARGUMENT" not in str(exc):
+                        raise
+                    last = exc
+                    if attempt < 3:
+                        import time
+
+                        time.sleep(5.0 * (attempt + 1))
+            raise last
+
         return DeviceCorpus(
             images=put(images),
             clouds=put(clouds),

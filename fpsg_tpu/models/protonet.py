@@ -51,6 +51,7 @@ class PCEncoder(nn.Module):
 
     core: str = "pointnet"
     axis_name: Optional[str] = None
+    point_axis_name: Optional[str] = None  # 'sp' point-axis mesh axis
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
 
@@ -58,10 +59,17 @@ class PCEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.core == "pointnet":
             return PointNetEncoder(
-                axis_name=self.axis_name, dtype=self.dtype,
+                axis_name=self.axis_name,
+                point_axis_name=self.point_axis_name, dtype=self.dtype,
                 precise_stats=self.precise_stats, name="pc_encoder"
             )(x, train)
         if self.core == "dgcnn":
+            if self.point_axis_name is not None:
+                raise NotImplementedError(
+                    "point-axis (sp) sharding is implemented for the "
+                    "pointnet core only — the dgcnn kNN graph crosses "
+                    "shard boundaries"
+                )
             return DGCNNFeat(axis_name=self.axis_name, dtype=self.dtype,
                              precise_stats=self.precise_stats,
                              name="pc_encoder")(x, train)
@@ -89,6 +97,14 @@ class ImgPCProtoNet(nn.Module):
     intra_support: bool = False
     aggregate: str = "single"
     axis_name: Optional[str] = None
+    point_axis_name: Optional[str] = None  # 'sp' mesh axis the point dim
+                                           # of the episode clouds (and the
+                                           # generated cloud) is sharded
+                                           # over — call inside shard_map
+                                           # with cloud specs P(None,'sp',
+                                           # None); clouds scale past one
+                                           # chip (parallel/sp.py, DESIGN
+                                           # §19). pointnet + cd only.
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
     fused_conv: bool = False     # fused Pallas conv+BN chain for the VGG
                                  # image branch in train mode
@@ -132,6 +148,11 @@ class ImgPCProtoNet(nn.Module):
                 "Found unsupported point cloud reconstruction metrics: "
                 f"{self.metric}"
             )
+        if self.point_axis_name is not None and self.metric != "cd":
+            raise NotImplementedError(
+                "point-axis (sp) sharding supports metric='cd' (ring "
+                "chamfer); Sinkhorn-EMD needs the full row/col reductions"
+            )
         img_cls = nn.remat(ImageEncoder, static_argnums=(2,)) \
             if self.remat else ImageEncoder
         dec_cls = nn.remat(PrimitiveDecoder, static_argnums=(2,)) \
@@ -144,6 +165,7 @@ class ImgPCProtoNet(nn.Module):
         )
         self.pc_encoder = PCEncoder(
             core=self.pc_backbone, axis_name=self.axis_name,
+            point_axis_name=self.point_axis_name,
             dtype=self.dtype, precise_stats=self.precise_stats,
             name="pc_encoder_wrap",
         )
@@ -167,6 +189,7 @@ class ImgPCProtoNet(nn.Module):
             template_type=self.template_type,
             activation=self.activation,
             axis_name=self.axis_name,
+            point_axis_name=self.point_axis_name,
             dtype=self.dtype,
             precise_stats=self.precise_stats,
             fused=self.decoder_fused,
@@ -208,6 +231,13 @@ class ImgPCProtoNet(nn.Module):
         from fpsg_tpu.ops.chamfer import chamfer_distance
         from fpsg_tpu.ops.emd import sinkhorn_emd
 
+        if self.point_axis_name is not None:
+            # syn/ref are LOCAL point shards: the ring computes the
+            # global chamfer without ever materializing a full cloud on
+            # one device (parallel/sp.py).
+            from fpsg_tpu.parallel.sp import ring_chamfer
+
+            return ring_chamfer(syn, ref, self.point_axis_name).sum()
         if self.metric == "cd":
             return chamfer_distance(syn, ref).sum()
         # Training loss: cheap entropic settings — gradients only need the

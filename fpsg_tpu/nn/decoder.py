@@ -157,6 +157,15 @@ class PrimitiveDecoder(nn.Module):
     activation: str = "relu"
     deformer_width: int = 128  # MLPDeformer layer_size (point_cloud_net.py:40)
     axis_name: Optional[str] = None
+    point_axis_name: Optional[str] = None  # 'sp' mesh axis the POINT dim
+                                           # is sharded over (parallel/sp):
+                                           # each device generates
+                                           # num_points/sp points; every
+                                           # BN here reduces over P, so
+                                           # the sp axis joins all stat
+                                           # psums; template draws fold
+                                           # in the device index. Forces
+                                           # the unfused XLA node chain.
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False  # two-pass BN variance everywhere
     fused: str = "auto"        # node-chain execution: 'auto' (Pallas
@@ -173,21 +182,31 @@ class PrimitiveDecoder(nn.Module):
     ) -> jax.Array:
         b = h.shape[0]
         c, nn_, w = self.num_clusters, self.num_nodes, self.deformer_width
-        ppn = self.num_points // c // nn_
+        pax = self.point_axis_name
         act = get_activation(self.activation)
         d_node = self.raw_dim + self.bottleneck_size
 
         if template_points is None:
+            ppn = self.num_points // c // nn_
+            key = self.make_rng("template")
+            if pax is not None:
+                # num_points is GLOBAL: this instance generates its
+                # shard, from a device-distinct template draw (the flax
+                # rng is replicated across the mesh). Both collectives
+                # bind only here, so init/apply with explicit
+                # template_points work outside shard_map too.
+                ppn //= jax.lax.psum(1, pax)
+                key = jax.random.fold_in(key, jax.lax.axis_index(pax))
             template = get_template(self.template_type)
             assert template.dim == self.ori_dim, (
                 f"template dim {template.dim} != ori_dim {self.ori_dim}"
             )
-            key = self.make_rng("template")
             raw = template.get_random_points(
                 key, (b, c, nn_, ppn, self.ori_dim)
             )
         else:
             raw = template_points                     # (B, C, Nn, P, ori)
+            ppn = raw.shape[3]  # LOCAL points per node under sp
 
         # --- Shared-per-cluster deformer (MLPDeformer :44-55) -------------
         # BN: params/running stats per (cluster, channel); train-mode batch
@@ -200,11 +219,15 @@ class PrimitiveDecoder(nn.Module):
         def post(t):
             return t if fused_act else act(t)
 
+        from fpsg_tpu.nn.pointnet import _with_point_axis
+
+        stat_ax = _with_point_axis(self.axis_name, pax)
+
         def dbn(name):
             return BatchNorm(
                 feature_axes=(1, -1),
                 group_axes=(2,),
-                axis_name=self.axis_name,
+                axis_name=stat_ax,
                 dtype=self.dtype,
                 two_pass=self.precise_stats,
                 activation=fused_act,
@@ -248,7 +271,7 @@ class PrimitiveDecoder(nn.Module):
         def nbn(name, two_pass):
             return BatchNorm(
                 feature_axes=(1, 2, -1),
-                axis_name=self.axis_name,
+                axis_name=stat_ax,
                 dtype=self.dtype,
                 two_pass=two_pass,
                 activation=fused_act,
@@ -257,12 +280,12 @@ class PrimitiveDecoder(nn.Module):
 
         dims = [d_node, d_node, d_node // 2, d_node // 4, 3]
 
-        fused_on = self.fused == "on" or (
+        fused_on = (self.fused == "on" or (
             self.fused == "auto"
             and not self.precise_stats
             and self.activation == "relu"
             and jax.default_backend() == "tpu"
-        )
+        )) and pax is None  # fused chain's stat psums don't join sp (yet)
         if fused_on:
             return self._fused_node_chain(h, d, train, nbn, dims)
         x, nb1 = _StackedDenseSplitCond(

@@ -507,9 +507,22 @@ class VGG16BN(nn.Module):
                                  # 4/9 the MACs in fwd/dgrad/wgrad, LSB
                                  # rounding differences only; probe-gated
                                  # like fused_conv
+    stage_slice: Optional[tuple] = None
+                                 # (lo, hi) over VGG16_CFG: apply only
+                                 # that cfg range — the pipeline-
+                                 # parallel stage split (parallel/pp.py,
+                                 # tests/test_pp_flagship.py). Layer
+                                 # names keep their GLOBAL torchvision
+                                 # indices, so a stage's param tree is
+                                 # literally the full model's params
+                                 # filtered to its range. The avgpool
+                                 # head runs only when hi == len(cfg);
+                                 # other stages return the NHWC
+                                 # activation (the pp boundary tensor).
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        lo, hi = self.stage_slice or (0, len(VGG16_CFG))
         if self.dtype is not None:
             x = x.astype(self.dtype)
 
@@ -542,9 +555,10 @@ class VGG16BN(nn.Module):
                 y, k2[None, None, None, :], b2[None, None, None, :]
             ).astype(y.dtype)
 
-        idx = 0
-        cfg = VGG16_CFG
-        if self.s2d_block1 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        idx = sum(1 if e == "M" else 3 for e in VGG16_CFG[:lo])
+        cfg = VGG16_CFG[lo:hi]
+        if (lo == 0 and hi > 2 and self.s2d_block1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             # Block 1 (conv 3->64, conv 64->64, maxpool) width-packed: BN
             # runs at packed width with ``phase_groups=2`` (stats folded
             # across the 2 phase copies on the small side — the same
@@ -596,7 +610,7 @@ class VGG16BN(nn.Module):
                 else:
                     x = _phase_max(bn1(y, not train, shift=fold))
             idx = 7  # past conv1_1(0..2), conv1_2(3..5), pool(6)
-            cfg = VGG16_CFG[3:]
+            cfg = VGG16_CFG[3:hi]
         j = 0
         pending = None   # raw conv output + its BN affine, awaiting
                          # fusion into the next conv's prologue
@@ -669,6 +683,8 @@ class VGG16BN(nn.Module):
             j += 1
         if pending is not None:
             x, pending = mat(pending), None
+        if hi < len(VGG16_CFG):
+            return x  # pp stage boundary: the raw NHWC activation
         # AdaptiveAvgPool2d((1,1)) == global mean over H, W.
         return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
