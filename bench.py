@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -138,8 +139,20 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
 
     def sync(metrics):
         # device->host read: block_until_ready alone does not reliably
-        # drain the execution queue on the axon TPU platform.
-        return float(jax.device_get(metrics["query_rec_loss"]).sum())
+        # drain the execution queue on the axon TPU platform. The read
+        # is side-effect-free — retry it through INVALID_ARGUMENT
+        # bursts (degraded-phase armor; see the retry loop in main).
+        last = None
+        for attempt in range(4):
+            try:
+                return float(jax.device_get(
+                    metrics["query_rec_loss"]).sum())
+            except Exception as exc:  # noqa: BLE001 — backend flake
+                if "INVALID_ARGUMENT" not in str(exc):
+                    raise
+                last = exc
+                time.sleep(5.0 * (attempt + 1))
+        raise last
 
     key = jax.random.PRNGKey(0)
     for i in range(warmup):
@@ -202,7 +215,45 @@ def main():
                     help="training reconstruction metric (the reference "
                          "flag it parses but drops, src/trainNetwork.py"
                          ":250); emd reports its own metric line")
+    ap.add_argument("--inner", action="store_true",
+                    help="internal: single-attempt worker mode (the "
+                         "outer process spawns fresh workers — the "
+                         "degraded-phase INVALID_ARGUMENT flake poisons "
+                         "a process's backend once it hits, so retrying "
+                         "in-process cannot recover; a fresh process "
+                         "re-rolls the dice and reuses the compile "
+                         "cache)")
     args = ap.parse_args()
+
+    if not args.inner:
+        # Outer mode: fresh subprocess per attempt (see --inner help).
+        # The outer NEVER touches the backend — an idle second client
+        # through the tunnel is exactly the concurrency the degraded
+        # phase seems to punish.
+        import subprocess
+
+        last_code = 1
+        for attempt in range(4):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 *sys.argv[1:], "--inner"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True)
+            sys.stderr.write(proc.stderr)
+            json_lines = [ln for ln in proc.stdout.splitlines()
+                          if ln.startswith("{")]
+            if proc.returncode == 0 and json_lines:
+                print(json_lines[-1])
+                return
+            last_code = proc.returncode or 1
+            print(f"# bench worker attempt {attempt + 1}/4 failed "
+                  f"(exit {proc.returncode}); cooling down",
+                  file=sys.stderr)
+            if proc.returncode == 2:  # tunnel unreachable: retries
+                break                 # cannot help inside one round
+            if attempt < 3:
+                time.sleep(60.0 * (attempt + 1))
+        sys.exit(last_code)
 
     # Fail fast (not hang) when the axon TPU tunnel is unreachable:
     # backend init blocks inside the plugin instead of raising, so an
@@ -225,11 +276,15 @@ def main():
     # throw bare `INVALID_ARGUMENT: TPU backend error` on the first
     # device reads for a few minutes after a tunnel restart (2026-08-19:
     # two consecutive failing runs, then clean 17.5+ eps with zero repo
-    # changes). The driver runs this file exactly once per round, so
-    # retry — in-process first (dispatches are independent), with a
-    # cool-down before each retry.
+    # changes), and — 2026-08-20 — to enter HOURS-long degraded phases
+    # where individual transfers/reads fail with ~tens-of-% probability
+    # (small probes pass; corpus uploads, init reads, and metric reads
+    # all observed failing in different runs with no repo change).
+    # The worker keeps a short in-process retry for the seconds-scale
+    # bursts; the outer process handles the poisoned-backend case with
+    # fresh workers.
     last_err = None
-    for attempt in range(3):
+    for attempt in range(2):
         try:
             eps = measure_ours(
                 args.episodes_per_step, args.steps, args.warmup,
@@ -240,13 +295,13 @@ def main():
             break
         except Exception as e:  # noqa: BLE001 — report, cool down, retry
             last_err = e
-            print(f"# bench attempt {attempt + 1}/3 failed: "
+            print(f"# bench attempt {attempt + 1}/2 failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr)
-            if attempt < 2:  # no pointless cool-down after the last try
+            if attempt < 1:  # no pointless cool-down after the last try
                 import jax
 
                 jax.clear_caches()
-                time.sleep(60.0 * (attempt + 1))
+                time.sleep(30.0)
     else:
         raise last_err
     dgcnn = args.pc_backbone == "dgcnn"
