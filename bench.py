@@ -227,18 +227,35 @@ def main():
 
     if not args.inner:
         # Outer mode: fresh subprocess per attempt (see --inner help).
-        # The outer NEVER touches the backend — an idle second client
-        # through the tunnel is exactly the concurrency the degraded
-        # phase seems to punish.
+        # The outer NEVER touches the backend itself. Hang protection
+        # (the tunnel-down case where backend init blocks forever)
+        # lives here too: ONE throwaway probe child up front, then a
+        # generous watchdog timeout per worker — the WORKER path stays
+        # probe-free, because any extra backend connect/disconnect
+        # before the real work correlates with the degraded-phase
+        # INVALID_ARGUMENT failures (CLAUDE.md platform quirks).
         import subprocess
+
+        from __graft_entry__ import _count_devices_with_timeout
+
+        if _count_devices_with_timeout(120.0) < 1:
+            print("bench.py: TPU backend unreachable (device probe "
+                  "timed out/failed) — aborting", file=sys.stderr)
+            sys.exit(2)
 
         last_code = 1
         for attempt in range(4):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 *sys.argv[1:], "--inner"],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True, text=True)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     *sys.argv[1:], "--inner"],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    capture_output=True, text=True, timeout=3600)
+            except subprocess.TimeoutExpired:
+                print(f"# bench worker attempt {attempt + 1}/4 hung "
+                      ">1h (killed)", file=sys.stderr)
+                last_code = 1
+                continue
             sys.stderr.write(proc.stderr)
             json_lines = [ln for ln in proc.stdout.splitlines()
                           if ln.startswith("{")]
@@ -249,21 +266,9 @@ def main():
             print(f"# bench worker attempt {attempt + 1}/4 failed "
                   f"(exit {proc.returncode}); cooling down",
                   file=sys.stderr)
-            if proc.returncode == 2:  # tunnel unreachable: retries
-                break                 # cannot help inside one round
             if attempt < 3:
                 time.sleep(60.0 * (attempt + 1))
         sys.exit(last_code)
-
-    # Fail fast (not hang) when the axon TPU tunnel is unreachable:
-    # backend init blocks inside the plugin instead of raising, so an
-    # unguarded first device touch would stall the driver indefinitely.
-    from __graft_entry__ import _count_devices_with_timeout
-
-    if _count_devices_with_timeout(120.0) < 1:
-        print("bench.py: TPU backend unreachable (device probe "
-              "timed out/failed) — aborting", file=sys.stderr)
-        sys.exit(2)
 
     cpu_baseline = TORCH_CPU_BASELINE_EPS
     if args.measure_baseline:
