@@ -259,3 +259,22 @@ def test_rejects_non_vgg_backbone():
         _conf(img_encoder="tiny"), img_size=IMG)
     with pytest.raises(ValueError, match="vgg_16"):
         QuantizedGenerator(gen)
+
+
+def test_calibrate_rejects_out_of_range_integer_images(gens):
+    """Integer calibration images outside uint8 range must raise, not
+    silently wrap through astype(np.uint8) and corrupt the frozen
+    scales (ADVICE r3)."""
+    gen, _ = gens
+    qgen = QuantizedGenerator(gen)
+    bad = np.full((2, IMG, IMG, 3), 300, np.int32)
+    with pytest.raises(ValueError, match="uint8-range"):
+        qgen.calibrate(bad)
+    neg = np.full((2, IMG, IMG, 3), -5, np.int64)
+    with pytest.raises(ValueError, match="uint8-range"):
+        qgen.calibrate(neg)
+    # in-range integer pixels still calibrate
+    ok = np.random.default_rng(0).integers(
+        0, 256, (2, IMG, IMG, 3)).astype(np.int32)
+    scales = qgen.calibrate(ok)
+    assert (np.asarray(scales) > 0).all()
