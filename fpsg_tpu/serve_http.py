@@ -112,10 +112,12 @@ class BatchingEngine:
 
     def __init__(self, generator, *, max_batch: int = 32,
                  max_wait_ms: float = 5.0,
-                 buckets: Optional[Sequence[int]] = None, seed: int = 0):
+                 buckets: Optional[Sequence[int]] = None, seed: int = 0,
+                 transient_retries: int = 2):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.gen = generator
+        self.transient_retries = int(transient_retries)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         if buckets is None:
@@ -265,7 +267,17 @@ class BatchingEngine:
         keys = np.stack([p.key_data for p in batch]
                         + [batch[0].key_data] * pad)
         try:
-            out = self.gen.generate_keyed(images, proto=protos, keys=keys)
+            # generate_keyed is read-only (nothing donated, keys are
+            # per-item inputs), so a retried call is bit-identical —
+            # absorb the axon tunnel's transient INVALID_ARGUMENT
+            # bursts (train/retry.py; CLAUDE.md platform quirks)
+            # instead of failing every coalesced caller at once.
+            from fpsg_tpu.train.retry import retry_readonly
+
+            out = retry_readonly(
+                lambda: self.gen.generate_keyed(
+                    images, proto=protos, keys=keys),
+                retries=self.transient_retries)
         except BaseException as e:  # noqa: BLE001 — routed to callers
             for p in batch:
                 if not p.future.cancelled():

@@ -53,6 +53,8 @@ def retry_readonly(fn, retries: int = 2):
         except KeyboardInterrupt:
             raise
         except Exception as exc:  # noqa: BLE001 — backend transients
+            if is_deterministic_error(exc):
+                raise
             last = exc
             if attempt < retries:
                 transient_cooldown()

@@ -161,32 +161,45 @@ def test_engine_rejects_bad_input(gen, rng):
         engine.submit(_images(rng)[0], "chair")
 
 
-def test_engine_routes_device_errors_to_callers(gen, rng):
-    """A failing dispatch must fail the batch's futures, not the
+def test_engine_absorbs_transient_and_routes_persistent_errors(gen, rng):
+    """The dispatch is read-only, so a SINGLE transient device failure
+    is retried in place and the caller never sees it (CLAUDE.md: the
+    axon tunnel throws INVALID_ARGUMENT bursts); a PERSISTENT failure
+    exhausts the retry budget and fails the batch's futures — not the
     batcher thread (the server keeps serving)."""
     engine = BatchingEngine(gen, max_batch=4, max_wait_ms=200,
                             buckets=[4]).start()
     try:
         engine.register_class("chair", _clouds(rng))
         real = engine.gen.generate_keyed
-        calls = {"n": 0}
+        calls = {"n": 0, "mode": "flaky_once"}
 
         def flaky(*a, **kw):
             calls["n"] += 1
-            if calls["n"] == 1:
+            if calls["mode"] == "dead" or calls["n"] == 1:
                 raise RuntimeError("injected device failure")
             return real(*a, **kw)
 
         engine.gen = type("G", (), {
             "generate_keyed": staticmethod(flaky),
             "prototype": staticmethod(engine.gen.prototype)})()
+        # one flake: absorbed by the in-place retry, caller unaffected
         fut = engine.submit(_images(rng)[0], "chair",
                             key_data=key_data_from_seed(1))
+        assert fut.result(timeout=120).shape == (NPTS, 3)
+        assert calls["n"] == 2  # the retry actually happened
+
+        # persistent failure: exhausts the budget, routed to callers
+        calls["mode"] = "dead"
+        fut = engine.submit(_images(rng)[0], "chair",
+                            key_data=key_data_from_seed(2))
         with pytest.raises(RuntimeError, match="injected"):
             fut.result(timeout=120)
+
         # engine still alive: the next request succeeds
+        calls["mode"] = "ok"
         fut = engine.submit(_images(rng)[0], "chair",
-                            key_data=key_data_from_seed(1))
+                            key_data=key_data_from_seed(3))
         assert fut.result(timeout=120).shape == (NPTS, 3)
     finally:
         engine.stop()
