@@ -64,13 +64,12 @@ class PCEncoder(nn.Module):
                 precise_stats=self.precise_stats, name="pc_encoder"
             )(x, train)
         if self.core == "dgcnn":
-            if self.point_axis_name is not None:
-                raise NotImplementedError(
-                    "point-axis (sp) sharding is implemented for the "
-                    "pointnet core only — the dgcnn kNN graph crosses "
-                    "shard boundaries"
-                )
-            return DGCNNFeat(axis_name=self.axis_name, dtype=self.dtype,
+            # kNN crosses shard boundaries: the sp path routes neighbor
+            # aggregation through the two-pass ring
+            # (parallel/sp.py:ring_knn_aggregate)
+            return DGCNNFeat(axis_name=self.axis_name,
+                             point_axis_name=self.point_axis_name,
+                             dtype=self.dtype,
                              precise_stats=self.precise_stats,
                              name="pc_encoder")(x, train)
         raise NotImplementedError(
@@ -104,7 +103,9 @@ class ImgPCProtoNet(nn.Module):
                                            # with cloud specs P(None,'sp',
                                            # None); clouds scale past one
                                            # chip (parallel/sp.py, DESIGN
-                                           # §19). pointnet + cd only.
+                                           # §19). metric='cd' only
+                                           # (ring chamfer); both
+                                           # pointnet and dgcnn cores.
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
     fused_conv: bool = False     # fused Pallas conv+BN chain for the VGG
                                  # image branch in train mode

@@ -85,6 +85,14 @@ class _EdgeConv(nn.Module):
     features: int
     k: int
     axis_name: Optional[str] = None
+    point_axis_name: Optional[str] = None  # 'sp' mesh axis the POINT
+                                           # dim is sharded over: the
+                                           # kNN graph crosses shard
+                                           # boundaries, so aggregates
+                                           # run the two-pass ring
+                                           # (parallel/sp.py:
+                                           # ring_knn_aggregate) and
+                                           # the BN stat psums join sp
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
 
@@ -108,21 +116,30 @@ class _EdgeConv(nn.Module):
         # gather-based oracle elsewhere.
         from fpsg_tpu.ops.edgeconv import knn_aggregate, knn_aggregate_oracle
 
-        if jax.default_backend() == "tpu" and n % 128 == 0:
+        pax = self.point_axis_name
+        if pax is not None:
+            from fpsg_tpu.parallel.sp import ring_knn_aggregate
+
+            z_max, z_min, sum_z, sum_zsq = ring_knn_aggregate(
+                x, z, self.k, pax)
+        elif jax.default_backend() == "tpu" and n % 128 == 0:
             z_max, z_min, sum_z, sum_zsq = knn_aggregate(x, z, self.k)
         else:
             z_max, z_min, sum_z, sum_zsq = knn_aggregate_oracle(
                 x, z, self.k)
 
-        bn = BatchNorm(axis_name=self.axis_name, dtype=self.dtype,
+        from fpsg_tpu.nn.pointnet import _with_point_axis
+
+        stat_ax = _with_point_axis(self.axis_name, pax)
+        bn = BatchNorm(axis_name=stat_ax, dtype=self.dtype,
                        two_pass=self.precise_stats, name="bn")
         n_pop = b * n * self.k
-        if self.axis_name is not None:
-            n_pop *= jax.lax.psum(1, self.axis_name)
+        if stat_ax is not None:
+            n_pop *= jax.lax.psum(1, stat_ax)
 
         def pm(t):
-            return jax.lax.pmean(t, self.axis_name) \
-                if self.axis_name is not None else t
+            return jax.lax.pmean(t, stat_ax) \
+                if stat_ax is not None else t
 
         if train:
             uf = u.astype(jnp.float32)
@@ -166,6 +183,9 @@ class DGCNNFeat(nn.Module):
     k: int = 20
     dual_pool: bool = True
     axis_name: Optional[str] = None
+    point_axis_name: Optional[str] = None  # see _EdgeConv; the final
+                                           # global pools become pmax /
+                                           # pmean over the sp axis
     dtype: Optional[jnp.dtype] = None
     precise_stats: bool = False
 
@@ -173,14 +193,14 @@ class DGCNNFeat(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         emb = self.embedding_dim // 2 if self.dual_pool else self.embedding_dim
         dt = self.dtype
-        x1 = _EdgeConv(64, self.k, self.axis_name, dt,
-                       precise_stats=self.precise_stats, name="conv1")(x, train)
-        x2 = _EdgeConv(64, self.k, self.axis_name, dt,
-                       precise_stats=self.precise_stats, name="conv2")(x1, train)
-        x3 = _EdgeConv(128, self.k, self.axis_name, dt,
-                       precise_stats=self.precise_stats, name="conv3")(x2, train)
-        x4 = _EdgeConv(256, self.k, self.axis_name, dt,
-                       precise_stats=self.precise_stats, name="conv4")(x3, train)
+        pax = self.point_axis_name
+        ec = lambda feats, name: _EdgeConv(
+            feats, self.k, self.axis_name, pax, dt,
+            precise_stats=self.precise_stats, name=name)
+        x1 = ec(64, "conv1")(x, train)
+        x2 = ec(64, "conv2")(x1, train)
+        x3 = ec(128, "conv3")(x2, train)
+        x4 = ec(256, "conv4")(x3, train)
         h = jnp.concatenate([x1, x2, x3, x4], axis=-1)         # (B, N, 512)
         h = nn.Dense(
             emb,
@@ -189,11 +209,22 @@ class DGCNNFeat(nn.Module):
             dtype=dt,
             name="conv5",
         )(h)
-        h = BatchNorm(axis_name=self.axis_name, dtype=dt,
+        from fpsg_tpu.nn.pointnet import _with_point_axis
+
+        h = BatchNorm(axis_name=_with_point_axis(self.axis_name, pax),
+                      dtype=dt,
                       two_pass=self.precise_stats, name="bn5")(h, not train)
         h = jax.nn.leaky_relu(h, 0.2).astype(jnp.float32)
         mx = jnp.max(h, axis=1)
+        if pax is not None:
+            # all_gather + max rather than lax.pmax: pmax has no JAX
+            # differentiation rule (same workaround as the PointNet
+            # pool, nn/pointnet.py:_bn_maxpool)
+            mx = jnp.max(jax.lax.all_gather(mx, pax), axis=0)
         if not self.dual_pool:
             return mx
         av = jnp.mean(h, axis=1)
+        if pax is not None:
+            # equal shard sizes: pmean of local means == global mean
+            av = jax.lax.pmean(av, pax)
         return jnp.concatenate([mx, av], axis=-1)

@@ -106,3 +106,81 @@ def chamfer_distance_sp(x: jax.Array, y: jax.Array, mesh: Mesh,
         check_rep=False,
     )
     return fn(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Point-sharded kNN aggregation (sp-DGCNN)
+# ---------------------------------------------------------------------------
+
+def ring_knn_aggregate(x_loc: jax.Array, z_loc: jax.Array, k: int,
+                       axis_name: str):
+    """EdgeConv neighbor aggregates over the GLOBAL kNN graph, from
+    point shards (inside ``shard_map``). Matches
+    ``ops.edgeconv.knn_aggregate_oracle`` on the gathered cloud.
+
+    Two ring passes (``2*sp`` hops of the ``(B, n/sp, C+F)`` block):
+
+    1. **Threshold pass** — the visiting coordinate block updates a
+       running top-k of squared distances per LOCAL point; after ``sp``
+       rotations the k-th smallest distance is each point's kNN
+       threshold. Small carry: ``(B, n_loc, k)`` f32.
+    2. **Aggregate pass** — re-rotate ``(coords, z)``; the boolean mask
+       ``d <= thresh`` IS the neighbor-membership matrix, so ``sum_z``/
+       ``sum_zsq`` are mask @ z matmuls (MXU — the same masks-as-gather
+       trick as the fused edgeconv kernel) and max/min are masked
+       block reduces. The full ``(N, N)`` graph never exists anywhere.
+
+    Gradients flow to ``z`` only (the oracle's neighbor indices carry
+    no gradient either; both passes see ``stop_gradient(x)``).
+
+    Both passes are UNROLLED python loops, deliberately: wrapping the
+    ring step in ``lax.scan`` or ``jax.checkpoint`` mis-routes max/min
+    cotangents to the wrong ring step at some shapes (jax 0.8,
+    measured: conserved-but-misrouted z-grads at B=2, n=128, F=16,
+    sp>=2; exact when unrolled — see
+    tests/test_sp_dgcnn.py::test_ring_knn_aggregate_grads_match_oracle,
+    which pins the working form). ``sp`` is a static mesh size, so the
+    unroll is bounded and known at trace time.
+
+    Tie caveat: points EXACTLY at the k-th distance are all included
+    (the oracle breaks such ties by gathered index order). Exact ties
+    are measure-zero for real clouds but systematic for DUPLICATED
+    points (e.g. padded clouds) — don't point-shard padded clouds.
+    """
+    sp = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % sp) for i in range(sp)]
+    x_loc = jax.lax.stop_gradient(x_loc)
+    b, n_loc = x_loc.shape[0], x_loc.shape[1]
+    f = z_loc.shape[-1]
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+
+    # --- pass 1: k-th smallest squared distance per local point -------
+    run = jnp.full((b, n_loc, k), big, jnp.float32)
+    y_blk = x_loc
+    for _ in range(sp):
+        d = pairwise_sqdist(x_loc, y_blk)              # (B, nl, nb)
+        merged = jnp.concatenate([run, d], axis=-1)
+        run = -jax.lax.top_k(-merged, k)[0]            # k smallest
+        y_blk = jax.lax.ppermute(y_blk, axis_name, perm)
+    thresh = jax.lax.stop_gradient(run[..., -1])       # (B, nl)
+
+    # --- pass 2: masked aggregates over the ring ----------------------
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+    zeros = jnp.zeros((b, n_loc, f), jnp.float32)
+    z_max, z_min = jnp.full_like(zeros, neg), jnp.full_like(zeros, -neg)
+    sum_z, sum_zsq = zeros, zeros
+    y_blk, z_blk = x_loc, z_loc.astype(jnp.float32)
+    for _ in range(sp):
+        d = pairwise_sqdist(x_loc, y_blk)              # (B, nl, nb)
+        m = (d <= thresh[..., None])
+        mf = m.astype(jnp.float32)
+        sum_z = sum_z + jnp.einsum("bnm,bmf->bnf", mf, z_blk)
+        sum_zsq = sum_zsq + jnp.einsum("bnm,bmf->bnf", mf,
+                                       z_blk * z_blk)
+        sel = jnp.where(m[..., None], z_blk[:, None, :, :], neg)
+        z_max = jnp.maximum(z_max, jnp.max(sel, axis=2))
+        sel = jnp.where(m[..., None], z_blk[:, None, :, :], -neg)
+        z_min = jnp.minimum(z_min, jnp.min(sel, axis=2))
+        y_blk = jax.lax.ppermute(y_blk, axis_name, perm)
+        z_blk = jax.lax.ppermute(z_blk, axis_name, perm)
+    return z_max, z_min, sum_z, sum_zsq

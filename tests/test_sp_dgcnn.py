@@ -1,0 +1,202 @@
+"""Point-sharded DGCNN: ring kNN aggregation vs the gathered oracle.
+
+The kNN graph crosses shard boundaries, so sp-DGCNN routes EdgeConv's
+neighbor aggregation through the two-pass ring
+(``parallel/sp.py:ring_knn_aggregate``): a threshold pass (running
+top-k of squared distances) and an aggregate pass where the
+``d <= thresh`` membership mask drives matmul sums and masked block
+reduces. These tests pin it against ``ops.edgeconv.knn_aggregate_oracle``
+on the gathered cloud — values, z-gradients, and the full
+``DGCNNFeat(point_axis_name='sp')`` encoder (fwd, running stats, param
+grads) on the 8-device virtual mesh.
+
+Tolerances are the established f32 psum/reassociation band
+(tests/test_sp_sharding.py); the bug classes these catch — a wrong
+threshold (different neighbor set), a double-counted block, a missing
+stat psum — all show at O(1).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fpsg_tpu.nn.dgcnn import DGCNNFeat
+from fpsg_tpu.ops.edgeconv import knn_aggregate_oracle
+from fpsg_tpu.parallel.sp import ring_knn_aggregate
+
+SP = 8
+B, N, F, K = 3, 256, 32, 8
+
+
+def _mesh():
+    devs = jax.devices()
+    if len(devs) < SP:
+        pytest.skip(f"needs {SP} devices")
+    return Mesh(np.array(devs[:SP]), ("sp",))
+
+
+def _data(rng, b=B, n=N, f=F):
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((b, n, f)), jnp.float32)
+    return x, z
+
+
+def _ring(mesh, x, z, k=K):
+    fn = shard_map(
+        lambda xl, zl: ring_knn_aggregate(xl, zl, k, "sp"),
+        mesh=mesh, in_specs=(P(None, "sp", None), P(None, "sp", None)),
+        out_specs=(P(None, "sp", None),) * 4, check_rep=False)
+    return fn(x, z)
+
+
+def test_ring_knn_aggregate_matches_oracle(rng):
+    mesh = _mesh()
+    x, z = _data(rng)
+    ref = knn_aggregate_oracle(x, z, K)
+    got = _ring(mesh, x, z)
+    for name, a, b_ in zip(("max", "min", "sum", "sumsq"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-5, atol=1e-5,
+            err_msg=f"ring kNN {name}")
+
+
+def test_ring_knn_aggregate_grads_match_oracle(rng):
+    """Gradients wrt z (x carries none on either path)."""
+    mesh = _mesh()
+    x, z = _data(rng, b=2, n=128, f=16)
+    w = [jnp.asarray(rng.standard_normal((2, 128, 16)), jnp.float32)
+         for _ in range(4)]
+
+    def loss_ref(z_):
+        outs = knn_aggregate_oracle(x, z_, K)
+        return sum(jnp.sum(o * wi) for o, wi in zip(outs, w))
+
+    def loss_sp(z_):
+        outs = _ring(mesh, x, z_)
+        return sum(jnp.sum(o * wi) for o, wi in zip(outs, w))
+
+    g_ref = jax.grad(loss_ref)(z)
+    g_sp = jax.grad(loss_sp)(z)
+    np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_knn_includes_self_and_exact_k(rng):
+    """Every point's own z appears in the aggregates (self-distance 0
+    is always under the threshold), and the membership count is exactly
+    k for distinct points (mask selects k neighbors, self included)."""
+    mesh = _mesh()
+    x, _ = _data(rng, b=1, n=64, f=1)
+    ones = jnp.ones((1, 64, 1), jnp.float32)
+    _, _, sum_z, _ = _ring(mesh, x, ones)
+    np.testing.assert_allclose(np.asarray(sum_z), K, rtol=0, atol=1e-6)
+
+
+def test_dgcnn_sp_matches_unsharded(rng):
+    """Full DGCNNFeat point-sharded vs unsharded: fwd, running stats,
+    param grads (f32 psum band; init via the axis-free twin)."""
+    mesh = _mesh()
+    x = jnp.asarray(rng.standard_normal((2, N, 3)), jnp.float32)
+    m0 = DGCNNFeat(embedding_dim=64, k=K, precise_stats=True)
+    msp = DGCNNFeat(embedding_dim=64, k=K, precise_stats=True,
+                    point_axis_name="sp")
+    variables = m0.init(jax.random.PRNGKey(0), x, True)
+
+    ref, ref_mut = m0.apply(variables, x, True, mutable=["batch_stats"])
+
+    def fwd(v, xl):
+        out, mut = msp.apply(v, xl, True, mutable=["batch_stats"])
+        return out, mut
+
+    got, got_mut = shard_map(
+        fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
+        out_specs=(P(), P()), check_rep=False)(variables, x)
+    scale = float(np.abs(np.asarray(ref)).max())
+    assert float(np.abs(np.asarray(got) - np.asarray(ref)).max()) \
+        <= 0.05 * scale
+    for a, b_ in zip(jax.tree.leaves(ref_mut), jax.tree.leaves(got_mut)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=1e-3, atol=1e-3)
+
+    # param grads
+    params, bs = variables["params"], variables["batch_stats"]
+    w = jnp.asarray(rng.standard_normal((2, 64)), jnp.float32)
+
+    def loss_ref(p):
+        out, _ = m0.apply({"params": p, "batch_stats": bs}, x, True,
+                          mutable=["batch_stats"])
+        return jnp.sum(out * w)
+
+    def loss_sp(p):
+        out, _ = shard_map(
+            fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
+            out_specs=(P(), P()), check_rep=False)(
+            {"params": p, "batch_stats": bs}, x)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_sp = jax.grad(loss_sp)(params)
+    flat = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    gmax = max(float(jnp.max(jnp.abs(a))) for _, a in flat)
+    for (path, a), b_ in zip(flat, jax.tree.leaves(g_sp)):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-4 * gmax)
+        d = float(jnp.max(jnp.abs(np.asarray(b_) - np.asarray(a))))
+        assert d <= 2e-2 * scale, (
+            f"sp-dgcnn grad mismatch at {jax.tree_util.keystr(path)}: "
+            f"{d:.3e} vs scale {scale:.3e}")
+
+
+def test_full_model_dgcnn_sp_loss_matches(rng):
+    """ImgPCProtoNet with the dgcnn core runs point-sharded end to end
+    and reproduces the unsharded loss."""
+    from fpsg_tpu.models import ImgPCProtoNet
+
+    mesh = _mesh()
+    S, Q, NPTS, IMG, C, NN_ = 3, 1, 256, 16, 2, 2
+    PPN = NPTS // C // NN_
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)
+    jb = {
+        "xs": jnp.asarray(f32(S, IMG, IMG, 3)),
+        "xq": jnp.asarray(f32(Q, IMG, IMG, 3)),
+        "xad": jnp.asarray(f32(S, IMG, IMG, 3)),
+        "pcs": jnp.asarray(f32(S, NPTS, 3) * 0.3),
+        "pcq": jnp.asarray(f32(Q, NPTS, 3) * 0.3),
+        "pcad": jnp.asarray(f32(S, NPTS, 3) * 0.3),
+    }
+    jtp = {
+        "query": jnp.asarray(
+            rng.uniform(0, 1, (Q, C, NN_, PPN, 2)).astype(np.float32)),
+        "support": jnp.asarray(
+            rng.uniform(0, 1, (S, C, NN_, PPN, 2)).astype(np.float32)),
+    }
+    kw = dict(img_backbone="tiny", pc_backbone="dgcnn",
+              num_clusters=C, num_nodes=NN_, num_points=NPTS,
+              bottleneck_size=576, intra_support=True,
+              precise_stats=True)
+    m0 = ImgPCProtoNet(**kw)
+    msp = ImgPCProtoNet(point_axis_name="sp", **kw)
+    variables = m0.init(
+        {"params": jax.random.PRNGKey(0),
+         "template": jax.random.PRNGKey(1)}, jb, True)
+    ref, _ = m0.apply(variables, jb, True, jtp, method="loss",
+                      mutable=["batch_stats"])
+
+    specs = {"xs": P(), "xq": P(), "xad": P(),
+             "pcs": P(None, "sp", None), "pcq": P(None, "sp", None),
+             "pcad": P(None, "sp", None)}
+    tspecs = {"query": P(None, None, None, "sp", None),
+              "support": P(None, None, None, "sp", None)}
+
+    def inner(v, sample, tp):
+        out, _ = msp.apply(v, sample, True, tp, method="loss",
+                           mutable=["batch_stats"])
+        return out["ttl_loss"]
+
+    got = shard_map(inner, mesh=mesh, in_specs=(P(), specs, tspecs),
+                    out_specs=P(), check_rep=False)(variables, jb, jtp)
+    np.testing.assert_allclose(float(got), float(ref["ttl_loss"]),
+                               rtol=5e-3)
