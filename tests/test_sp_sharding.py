@@ -231,3 +231,30 @@ def test_pointnet_sp_matches_unsharded(feature_transform):
     for a, b in zip(jax.tree.leaves(ref_mut), jax.tree.leaves(got_mut)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("b,n,sp", [(2, 256, 8), (4, 512, 8),
+                                    (1, 1024, 4)])
+def test_gradients_match_oracle_shape_sweep(b, n, sp):
+    """Regression guard for the scan+ppermute AD misroute found in
+    ring_knn_aggregate (jax 0.8; see parallel/sp.py docstring): that
+    bug was SHAPE-dependent and invisible at the single shape the
+    original grad test used. The chamfer ring's rotating-accumulator
+    pattern measures clean across shapes — pin it."""
+    devs = jax.devices()
+    if len(devs) < sp:
+        pytest.skip(f"needs {sp} devices")
+    mesh = Mesh(np.array(devs[:sp]), ("sp",))
+    rng = np.random.default_rng(b + n)
+    x = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((b, n, 3)), jnp.float32)
+    gx_r, gy_r = jax.grad(
+        lambda a, c: jnp.sum(chamfer_distance(a, c, impl="oracle")),
+        (0, 1))(x, y)
+    gx_s, gy_s = jax.grad(
+        lambda a, c: jnp.sum(chamfer_distance_sp(a, c, mesh)),
+        (0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gy_s), np.asarray(gy_r),
+                               rtol=1e-5, atol=1e-7)
