@@ -87,13 +87,17 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
                  winograd: bool = False,
                  bf16_moments: bool = False,
                  pc_backbone: str = "pointnet",
-                 pc_dist: str = "cd") -> float:
+                 pc_dist: str = "cd",
+                 host_corpus: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
     _enable_compile_cache()
 
-    from fpsg_tpu.data import DeviceCorpus, synthetic_corpus
+    from fpsg_tpu.data import (
+        DeviceCorpus, synthetic_corpus, synthetic_device_corpus,
+    )
+    from fpsg_tpu.train.retry import is_transient_backend_error
     from fpsg_tpu.models import ImgPCProtoNet
     from fpsg_tpu.train import (
         TrainState, init_model, make_optimizer, make_train_step,
@@ -109,10 +113,19 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
         fused_conv=fused_conv,
         winograd=winograd,
     )
-    corpus = DeviceCorpus.build(
-        synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
-                         img_size=img)
-    )
+    if host_corpus:
+        # legacy host-generated path (~30 MB of H2D through the tunnel —
+        # the exact transfer BENCH_r04 died in; kept for A/B validation)
+        corpus = DeviceCorpus.build(
+            synthetic_corpus(n_classes=2, items_per_class=48, n_pts=n_pts,
+                             img_size=img)
+        )
+    else:
+        # on-device generation: the bench preamble's H2D traffic is one
+        # PRNG key + the compiled programs (degraded-phase armor,
+        # VERDICT r4 item 2)
+        corpus = synthetic_device_corpus(
+            n_classes=2, items_per_class=48, n_pts=n_pts, img_size=img)
     sample = {
         "xs": jnp.zeros((n_support, img, img, 3)),
         "xq": jnp.zeros((n_query, img, img, 3)),
@@ -148,7 +161,7 @@ def measure_ours(n_episodes: int, steps: int, warmup: int,
                 return float(jax.device_get(
                     metrics["query_rec_loss"]).sum())
             except Exception as exc:  # noqa: BLE001 — backend flake
-                if "INVALID_ARGUMENT" not in str(exc):
+                if not is_transient_backend_error(exc):
                     raise
                 last = exc
                 time.sleep(5.0 * (attempt + 1))
@@ -174,6 +187,16 @@ def main():
     ap.add_argument("--steps-per-call", type=int, default=8,
                     help="optimizer steps fused per dispatch (lax.scan)")
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--quick", action="store_true",
+                    help="short leg for degraded-phase attempts: 5 "
+                         "measured steps, 1 warmup (same compiled "
+                         "program — steps_per_call unchanged, so the "
+                         "compile cache still hits)")
+    ap.add_argument("--host-corpus", action="store_true",
+                    help="generate the synthetic corpus on the host and "
+                         "upload it (legacy path; default generates it "
+                         "on-device so the bench preamble is near-"
+                         "transfer-free)")
     ap.add_argument("--measure-baseline", action="store_true",
                     help="re-measure the torch-CPU reference baseline")
     ap.add_argument("--fused-conv", dest="fused_conv",
@@ -224,6 +247,9 @@ def main():
                          "re-rolls the dice and reuses the compile "
                          "cache)")
     args = ap.parse_args()
+    if args.quick:
+        args.steps = min(args.steps, 5)
+        args.warmup = min(args.warmup, 1)
 
     if not args.inner:
         # Outer mode: fresh subprocess per attempt (see --inner help).
@@ -245,27 +271,35 @@ def main():
 
         last_code = 1
         for attempt in range(4):
+            failure = None
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      *sys.argv[1:], "--inner"],
                     cwd=os.path.dirname(os.path.abspath(__file__)),
                     capture_output=True, text=True, timeout=3600)
-            except subprocess.TimeoutExpired:
-                print(f"# bench worker attempt {attempt + 1}/4 hung "
-                      ">1h (killed)", file=sys.stderr)
+            except subprocess.TimeoutExpired as exc:
+                # a hung worker is the STRONGEST degraded-tunnel signal —
+                # it gets the same cool-down as other failures, and its
+                # partial stderr is forwarded, not discarded
+                stderr = exc.stderr
+                if isinstance(stderr, bytes):
+                    stderr = stderr.decode(errors="replace")
+                if stderr:
+                    sys.stderr.write(stderr)
+                failure = "hung >1h (killed)"
                 last_code = 1
-                continue
-            sys.stderr.write(proc.stderr)
-            json_lines = [ln for ln in proc.stdout.splitlines()
-                          if ln.startswith("{")]
-            if proc.returncode == 0 and json_lines:
-                print(json_lines[-1])
-                return
-            last_code = proc.returncode or 1
-            print(f"# bench worker attempt {attempt + 1}/4 failed "
-                  f"(exit {proc.returncode}); cooling down",
-                  file=sys.stderr)
+            else:
+                sys.stderr.write(proc.stderr)
+                json_lines = [ln for ln in proc.stdout.splitlines()
+                              if ln.startswith("{")]
+                if proc.returncode == 0 and json_lines:
+                    print(json_lines[-1])
+                    return
+                failure = f"failed (exit {proc.returncode})"
+                last_code = proc.returncode or 1
+            print(f"# bench worker attempt {attempt + 1}/4 {failure}; "
+                  "cooling down", file=sys.stderr)
             if attempt < 3:
                 time.sleep(60.0 * (attempt + 1))
         sys.exit(last_code)
@@ -296,7 +330,8 @@ def main():
                 args.compute_dtype, steps_per_call=args.steps_per_call,
                 fused_conv=args.fused_conv, winograd=args.winograd,
                 bf16_moments=args.bf16_moments,
-                pc_backbone=args.pc_backbone, pc_dist=args.pc_dist)
+                pc_backbone=args.pc_backbone, pc_dist=args.pc_dist,
+                host_corpus=args.host_corpus)
             break
         except Exception as e:  # noqa: BLE001 — report, cool down, retry
             last_err = e

@@ -23,7 +23,11 @@ from fpsg_tpu.data.episodes import (
     EpisodicBatchSampler,
     SequentialBatchSampler,
 )
-from fpsg_tpu.data.synthetic import synthetic_corpus, materialize_fake_modelnet
+from fpsg_tpu.data.synthetic import (
+    synthetic_corpus,
+    synthetic_device_corpus,
+    materialize_fake_modelnet,
+)
 from fpsg_tpu.data.manifest import (
     generate_modelnet_manifests,
     generate_shapenet_manifests,
@@ -46,6 +50,7 @@ __all__ = [
     "EpisodicBatchSampler",
     "SequentialBatchSampler",
     "synthetic_corpus",
+    "synthetic_device_corpus",
     "materialize_fake_modelnet",
     "generate_modelnet_manifests",
     "generate_shapenet_manifests",

@@ -86,12 +86,14 @@ class DeviceCorpus:
             # neighboring processes succeeded). The upload is free of
             # side effects — retry in place with a short cool-down
             # before bubbling up to the coarser loop-level armor.
+            from fpsg_tpu.train.retry import is_transient_backend_error
+
             last = None
             for attempt in range(4):
                 try:
                     return put0(x)
                 except Exception as exc:  # noqa: BLE001 — backend flake
-                    if "INVALID_ARGUMENT" not in str(exc):
+                    if not is_transient_backend_error(exc):
                         raise
                     last = exc
                     if attempt < 3:

@@ -195,7 +195,16 @@ class PrimitiveDecoder(nn.Module):
                 # rng is replicated across the mesh). Both collectives
                 # bind only here, so init/apply with explicit
                 # template_points work outside shard_map too.
-                ppn //= jax.lax.psum(1, pax)
+                sp_size = int(jax.lax.psum(1, pax))  # static at trace time
+                if ppn % sp_size != 0:
+                    raise ValueError(
+                        f"points-per-node {ppn} (num_points="
+                        f"{self.num_points} / clusters={c} / nodes={nn_}) "
+                        f"is not divisible by sp axis size {sp_size}: "
+                        "devices would silently generate fewer than "
+                        "num_points total points"
+                    )
+                ppn //= sp_size
                 key = jax.random.fold_in(key, jax.lax.axis_index(pax))
             template = get_template(self.template_type)
             assert template.dim == self.ori_dim, (

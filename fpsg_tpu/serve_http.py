@@ -274,10 +274,13 @@ class BatchingEngine:
             # instead of failing every coalesced caller at once.
             from fpsg_tpu.train.retry import retry_readonly
 
+            # short cooldown: the batcher thread is the only dispatcher —
+            # the default 15 s would stall every bucket and coalesced
+            # caller past typical HTTP client timeouts
             out = retry_readonly(
                 lambda: self.gen.generate_keyed(
                     images, proto=protos, keys=keys),
-                retries=self.transient_retries)
+                retries=self.transient_retries, cooldown_s=2.0)
         except BaseException as e:  # noqa: BLE001 — routed to callers
             for p in batch:
                 if not p.future.cancelled():

@@ -17,11 +17,24 @@ import jax
 RETRY_COOLDOWN_S = 15.0
 
 
-def transient_cooldown() -> None:
+def transient_cooldown(seconds: float = None) -> None:
     if jax.default_backend() == "tpu":
         import time
 
-        time.sleep(RETRY_COOLDOWN_S)
+        time.sleep(RETRY_COOLDOWN_S if seconds is None else seconds)
+
+
+def is_transient_backend_error(exc: BaseException) -> bool:
+    """True iff ``exc`` matches the OBSERVED axon-flake signature — a bare
+    ``INVALID_ARGUMENT: TPU backend error`` (CLAUDE.md platform quirks;
+    BENCH_r04 failure record). Deliberately requires BOTH substrings:
+    deterministic XLA INVALID_ARGUMENT errors (genuinely bad shapes or
+    dtypes) must fail fast instead of burning retry budgets. All
+    per-transfer retry sites (``data/corpus.py:put``, ``bench.py:sync``)
+    share this one predicate so they cannot drift.
+    """
+    s = str(exc)
+    return "INVALID_ARGUMENT" in s and "TPU backend error" in s
 
 
 def is_deterministic_error(exc: BaseException) -> bool:
@@ -37,7 +50,7 @@ def is_deterministic_error(exc: BaseException) -> bool:
     return isinstance(exc, FlaxError)
 
 
-def retry_readonly(fn, retries: int = 2):
+def retry_readonly(fn, retries: int = 2, cooldown_s: float = None):
     """Run ``fn()`` with bounded retry + cooldown.
 
     ONLY for read-only dispatches (eval/serving: nothing donated, no state
@@ -45,6 +58,10 @@ def retry_readonly(fn, retries: int = 2):
     rng keys it uses are closed over, so a retried call is bit-identical.
     Covers the transient-burst case where device buffers survive; a truly
     dead backend exhausts the budget and re-raises the last error.
+
+    ``cooldown_s`` overrides the default ``RETRY_COOLDOWN_S`` — latency-
+    sensitive callers (the serving batcher, where one sleeping thread
+    stalls every coalesced HTTP client) pass a short value.
     """
     last = None
     for attempt in range(max(0, retries) + 1):
@@ -57,5 +74,5 @@ def retry_readonly(fn, retries: int = 2):
                 raise
             last = exc
             if attempt < retries:
-                transient_cooldown()
+                transient_cooldown(cooldown_s)
     raise last

@@ -119,6 +119,36 @@ def test_outer_bounded_attempts_and_exit_code(monkeypatch, capsys):
     assert code == 1
 
 
+def test_outer_timeout_gets_cooldown_and_forwards_stderr(monkeypatch,
+                                                         capsys):
+    """A hung worker (TimeoutExpired) is the strongest degraded-tunnel
+    signal: it must take the same cool-down path as other failures and
+    its partial stderr must be forwarded, not discarded (ADVICE r4)."""
+    calls, sleeps = [], []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        if len(calls) == 1:
+            raise subprocess.TimeoutExpired(
+                cmd, 3600, stderr=b"partial worker stderr\n")
+        good = json.dumps({"metric": "episodes_per_sec_x", "value": 18.5})
+        return types.SimpleNamespace(returncode=0, stdout=good + "\n",
+                                     stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: sleeps.append(s))
+    monkeypatch.setattr(
+        "__graft_entry__._count_devices_with_timeout", lambda t: 1)
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+    bench.main()
+    out = capsys.readouterr()
+    assert len(calls) == 2
+    assert sleeps, "timeout path must cool down before the next worker"
+    assert "partial worker stderr" in out.err
+    assert "hung" in out.err
+    assert json.loads(out.out.splitlines()[-1])["value"] == 18.5
+
+
 def test_outer_tunnel_down_exits_2_without_workers(monkeypatch, capsys):
     out, calls, code = _run_outer(monkeypatch, capsys,
                                   [(0, "{}")], probe_devices=0)
