@@ -65,7 +65,7 @@ def run_sp(args):
 
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = jax.devices()
@@ -104,7 +104,7 @@ def run_sp(args):
 
     grad_fn = jax.jit(shard_map(
         jax.grad(loss_fn), mesh=mesh,
-        in_specs=(P(), P(), specs), out_specs=P(), check_rep=False))
+        in_specs=(P(), P(), specs), out_specs=P(), check_vma=False))
 
     t0 = time.perf_counter()
     g = grad_fn(variables["params"], variables["batch_stats"], jb)

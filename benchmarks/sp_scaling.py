@@ -39,7 +39,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
-from jax.experimental.shard_map import shard_map  # noqa: E402
+from jax import shard_map  # noqa: E402
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 from fpsg_tpu.nn.pointnet import PointNetEncoder  # noqa: E402
@@ -86,7 +86,7 @@ def main():
         fn = jax.jit(shard_map(
             jax.value_and_grad(loss, argnums=1), mesh=mesh,
             in_specs=(P(), spec, spec), out_specs=(P(), spec),
-            check_rep=False))
+            check_vma=False))
         sh = NamedSharding(mesh, spec)
         xs, ys = jax.device_put(x, sh), jax.device_put(y, sh)
 

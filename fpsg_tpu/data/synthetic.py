@@ -173,7 +173,28 @@ def synthetic_device_corpus(
         counts = jnp.full((c,), m, jnp.int32)
         return images, pts.astype(jnp.float32), counts
 
-    images, clouds, counts = gen(jax.random.PRNGKey(seed))
+    # Degraded-phase armor part 2: even the PRNGKey scalar upload — the
+    # first device op of a fresh process — has been observed failing
+    # with the transient signature (BENCH round-5 log: INVALID_ARGUMENT
+    # inside jax.random.PRNGKey). Generation is side-effect-free, so
+    # retry the whole one-shot program through short bursts.
+    from fpsg_tpu.train.retry import is_transient_backend_error
+
+    last = None
+    for attempt in range(4):
+        try:
+            images, clouds, counts = gen(jax.random.PRNGKey(seed))
+            break
+        except Exception as exc:  # noqa: BLE001 — backend flake
+            if not is_transient_backend_error(exc):
+                raise
+            last = exc
+            if attempt < 3:
+                import time
+
+                time.sleep(5.0 * (attempt + 1))
+    else:
+        raise last
     names = tuple(
         SHAPES[i % len(SHAPES)] + (f"_{i // len(SHAPES)}" if i >= len(SHAPES)
                                    else "")

@@ -128,7 +128,7 @@ def pipeline_repeated(stage_fn: Callable, mesh: Mesh, n_micro: int,
     both arguments; param grads come back pp-sharded like the params.
     """
     s = mesh.shape[axis_name]
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     body = functools.partial(_gpipe_local_repeated, stage_fn, remat,
                              n_micro, axis_name)
@@ -136,7 +136,7 @@ def pipeline_repeated(stage_fn: Callable, mesh: Mesh, n_micro: int,
         body, mesh=mesh,
         in_specs=(P(axis_name), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
 
     def run(stacked_params, x):
@@ -241,7 +241,7 @@ def pipeline_stages(stage_fns: List[Callable], mesh: Mesh,
     """
     s = mesh.shape[axis_name]
     assert len(stage_fns) == s, (len(stage_fns), s)
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def run(params_all, x):
         n_micro = x.shape[0]
@@ -254,7 +254,7 @@ def pipeline_stages(stage_fns: List[Callable], mesh: Mesh,
             n_micro, axis_name)
         out_flat = shard_map(
             body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
-            check_rep=False,
+            check_vma=False,
         )(tuple(params_all), x)
         n_out = int(np.prod(out_shape))
         return out_flat[:, :n_out].reshape((n_micro,) + out_shape)

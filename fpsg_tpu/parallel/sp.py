@@ -96,14 +96,14 @@ def chamfer_distance_sp(x: jax.Array, y: jax.Array, mesh: Mesh,
     ``y (B, M, D)`` over ``mesh[axis_name]`` and run the ring. N and M
     must divide by the axis size (pad-and-mask ragged clouds upstream,
     as `ops.chamfer.masked_chamfer_distance` does)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis_name, None)
     fn = shard_map(
         functools.partial(ring_chamfer, axis_name=axis_name,
                           w1=w1, w2=w2),
         mesh=mesh, in_specs=(spec, spec), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(x, y)
 

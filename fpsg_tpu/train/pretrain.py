@@ -141,11 +141,12 @@ def pretrain_pc_encoder(conf: PretrainConfig) -> Tuple[TrainState, str]:
 
     num_cat = len(class_names)
     model = PCClassifier(core=conf.core, num_classes=num_cat)
-    variables = model.init(
-        {"params": jax.random.PRNGKey(conf.seed),
-         "dropout": jax.random.PRNGKey(conf.seed + 1)},
-        jnp.zeros((2, conf.n_pts, 3)), True,
-    )
+    # jitted init: one compile/dispatch instead of hundreds of eager ops
+    # (see train/step.py:init_model)
+    variables = jax.jit(lambda k1, k2, s: model.init(
+        {"params": k1, "dropout": k2}, s, True))(
+        jax.random.PRNGKey(conf.seed), jax.random.PRNGKey(conf.seed + 1),
+        jnp.zeros((2, conf.n_pts, 3)))
     tx = make_optimizer(
         lr=conf.lr, lr_decay_epochs=conf.lr_decay,
         steps_per_epoch=max(len(clouds) // conf.batch_size, 1),

@@ -24,15 +24,21 @@ from fpsg_tpu.train.state import TrainState
 
 
 def init_model(model, sample, seed: int = 0) -> dict:
-    """Initialize model variables from a single example episode."""
-    return model.init(
-        {
-            "params": jax.random.PRNGKey(seed),
-            "template": jax.random.PRNGKey(seed + 1),
-        },
-        sample,
-        True,
-    )
+    """Initialize model variables from a single example episode.
+
+    Jitted: un-jitted flax init executes hundreds of EAGER ops — measured
+    (round 5) ~50 s of tiny per-op XLA compiles per CLI run on the
+    virtual mesh (26x `_uniform`, 116x `slice`, ...), and one eager
+    dispatch per op through the axon tunnel on TPU (each a flake
+    opportunity in degraded phases). One traced program is one compile
+    and one dispatch."""
+    def _init(k1, k2, s):
+        return model.init({"params": k1, "template": k2}, s, True)
+
+    # sample is an ARGUMENT, not a closure constant: an already-on-device
+    # sample (bench: jnp.zeros) then adds zero H2D traffic
+    return jax.jit(_init)(
+        jax.random.PRNGKey(seed), jax.random.PRNGKey(seed + 1), sample)
 
 
 def make_train_step(

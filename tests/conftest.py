@@ -19,6 +19,17 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; force CPU explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU suite (VERDICT r4 item 6): the
+# big mesh compiles (multi_step/eval_step/grad-of-shard_map, 15-50 s
+# EACH) are identical across runs — cached, a full-suite rerun drops
+# them to ~2 s loads. Keyed on HLO, so code changes invalidate exactly
+# the programs they change. Separate dir from the TPU cache
+# (/root/.cache/jax_fpsg). The "machine feature +prefer-no-scatter"
+# load warnings are XLA preference pseudo-flags, not real ISA features
+# — benign (verified same-machine round-trip, round 5).
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_fpsg_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -44,6 +44,13 @@ def _args(out, ckpt_dir, name, epochs=2, extra=()):
         "--img_encoder", "tiny",
         "--n_shot", "3", "--n_query", "1",
         "--num_pts", "128",
+        # smallest decoder that still exercises every dp/fsdp path: the
+        # default 4x4x1536 stacks tripled this file's wall time (~23 min
+        # measured round-5) purely in compile+run width, pinning nothing
+        # extra — mesh build, sharding, Orbax round-trips, resume are
+        # width-independent
+        "--num_clusters", "2", "--num_nodes", "2",
+        "--bottleneck_size", "192",
         "--n_episode", "4",
         "--epoch", str(epochs),
         "--eval_interval", "100",

@@ -181,7 +181,7 @@ def test_pp_composes_with_dp():
     its shard of microbatches — the GPipe body only names the 'pp'
     axis, so dp composition is pure sharding (no code change)."""
     import numpy as np_
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh
 
     from fpsg_tpu.parallel.pp import _gpipe_local_repeated
@@ -208,7 +208,7 @@ def test_pp_composes_with_dp():
         body2, mesh=mesh2,
         in_specs=(P(None, "pp"), P("dp")),
         out_specs=P("dp"),
-        check_rep=False,
+        check_vma=False,
     )
     got = jax.jit(run)(stacked2, x)
     want = jax.vmap(lambda xm: _sequential(params_list, xm))(x)

@@ -21,7 +21,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fpsg_tpu.nn.dgcnn import DGCNNFeat
@@ -49,7 +49,7 @@ def _ring(mesh, x, z, k=K):
     fn = shard_map(
         lambda xl, zl: ring_knn_aggregate(xl, zl, k, "sp"),
         mesh=mesh, in_specs=(P(None, "sp", None), P(None, "sp", None)),
-        out_specs=(P(None, "sp", None),) * 4, check_rep=False)
+        out_specs=(P(None, "sp", None),) * 4, check_vma=False)
     return fn(x, z)
 
 
@@ -114,7 +114,7 @@ def test_dgcnn_sp_matches_unsharded(rng):
 
     got, got_mut = shard_map(
         fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
-        out_specs=(P(), P()), check_rep=False)(variables, x)
+        out_specs=(P(), P()), check_vma=False)(variables, x)
     scale = float(np.abs(np.asarray(ref)).max())
     assert float(np.abs(np.asarray(got) - np.asarray(ref)).max()) \
         <= 0.05 * scale
@@ -134,7 +134,7 @@ def test_dgcnn_sp_matches_unsharded(rng):
     def loss_sp(p):
         out, _ = shard_map(
             fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
-            out_specs=(P(), P()), check_rep=False)(
+            out_specs=(P(), P()), check_vma=False)(
             {"params": p, "batch_stats": bs}, x)
         return jnp.sum(out * w)
 
@@ -197,6 +197,6 @@ def test_full_model_dgcnn_sp_loss_matches(rng):
         return out["ttl_loss"]
 
     got = shard_map(inner, mesh=mesh, in_specs=(P(), specs, tspecs),
-                    out_specs=P(), check_rep=False)(variables, jb, jtp)
+                    out_specs=P(), check_vma=False)(variables, jb, jtp)
     np.testing.assert_allclose(float(got), float(ref["ttl_loss"]),
                                rtol=5e-3)

@@ -21,12 +21,18 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from fpsg_tpu.models import ImgPCProtoNet
 
-S, Q, IMG, NPTS = 4, 2, 16, 1024
+# Smallest shapes that still pin the sp failure modes (VERDICT r4 item
+# 6: the round-4 AD-misroute repro was B=2, n=128 — tiny shapes find
+# these; running-var n inflation / missing stat psums / double-counted
+# points are all O(1) at any N). The N=16384 scale demo lives in
+# benchmarks/sp_full_step.py, not here. NPTS=1024 tripled the wall time
+# for zero extra coverage.
+S, Q, IMG, NPTS = 4, 2, 16, 256
 C, NN_ = 2, 2
 PPN = NPTS // C // NN_
 SP = 8
@@ -59,7 +65,7 @@ def _episode(rng):
 def _models():
     kw = dict(img_backbone="tiny", pc_backbone="pointnet",
               num_clusters=C, num_nodes=NN_, num_points=NPTS,
-              bottleneck_size=576, intra_support=True, precise_stats=True)
+              bottleneck_size=288, intra_support=True, precise_stats=True)
     return (ImgPCProtoNet(**kw),
             ImgPCProtoNet(point_axis_name="sp", **kw))
 
@@ -83,7 +89,7 @@ def _sp_loss_fn(model_sp, mesh):
     return shard_map(
         inner, mesh=mesh,
         in_specs=(P(), _SAMPLE_SPECS, _TP_SPECS),
-        out_specs=(P(), (P(), P())), check_rep=False)
+        out_specs=(P(), (P(), P())), check_vma=False)
 
 
 def test_full_model_sp_matches_unsharded():
@@ -149,10 +155,16 @@ def test_full_model_sp_param_grads_match_unsharded():
     # noise on both sides — floor each leaf's scale at 1e-4 of the
     # global max so noise-vs-noise is not compared at relative scale
     gmax = max(float(jnp.max(jnp.abs(a))) for _, a in flat_ref)
+    # 5e-2 band: at NPTS=256 each point carries 4x the chamfer weight of
+    # the old 1024-point shape, so sharded-vs-unsharded argmin tie flips
+    # (reduction-order dependent) move decoder grads up to ~3e-2 of
+    # scale (measured round-5: deformer_conv1 2.3e-3 on a 7.8e-2-scale
+    # leaf). The semantic bug classes this test pins (missing stat psum,
+    # double-counted points, running-var n inflation) all show at O(1).
     for (path, a), b in zip(flat_ref, flat_sp):
         scale = max(float(jnp.max(jnp.abs(a))), 1e-4 * gmax)
         d = float(jnp.max(jnp.abs(np.asarray(b) - np.asarray(a))))
-        assert d <= 2e-2 * scale, (
+        assert d <= 5e-2 * scale, (
             f"sp grad mismatch at {jax.tree_util.keystr(path)}: "
             f"{d:.3e} vs scale {scale:.3e}")
 
@@ -182,17 +194,17 @@ def test_sp_template_shards_are_distinct():
 
     loss = shard_map(
         gen, mesh=mesh, in_specs=(P(), _SAMPLE_SPECS),
-        out_specs=P(), check_rep=False)(variables, jb)
+        out_specs=P(), check_vma=False)(variables, jb)
     assert np.isfinite(float(loss))
 
     # direct witness on the decoder: distinct per-device template draws
     from fpsg_tpu.nn.decoder import PrimitiveDecoder
 
     dec_kw = dict(num_clusters=C, num_nodes=NN_, num_points=NPTS,
-                  bottleneck_size=576)
+                  bottleneck_size=288)
     dec = PrimitiveDecoder(point_axis_name="sp", **dec_kw)
     dec0 = PrimitiveDecoder(**dec_kw)  # axis-free init twin
-    h = jnp.asarray(rng.standard_normal((2, 576 + 3)), jnp.float32)
+    h = jnp.asarray(rng.standard_normal((2, 288 + 3)), jnp.float32)
     dvars = dec0.init({"params": jax.random.PRNGKey(0),
                        "template": jax.random.PRNGKey(1)},
                       h, True, jnp.zeros((2, C, NN_, PPN // SP, 2)))
@@ -205,7 +217,7 @@ def test_sp_template_shards_are_distinct():
 
     syn = shard_map(
         run, mesh=mesh, in_specs=(P(), P()),
-        out_specs=P(None, "sp", None), check_rep=False)(dvars, h)
+        out_specs=P(None, "sp", None), check_vma=False)(dvars, h)
     assert syn.shape == (2, NPTS, 3)
     shards = np.asarray(syn).reshape(2, SP, NPTS // SP, 3)
     for i in range(1, SP):

@@ -78,7 +78,7 @@ def test_jit_with_sharded_inputs_stays_sharded():
 
 def test_composes_with_dp_axis():
     """2-D (dp, sp) mesh: episodes shard over dp, points over sp."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     devs = jax.devices()
     if len(devs) < 8:
@@ -90,7 +90,7 @@ def test_composes_with_dp_axis():
         lambda xl, yl: ring_chamfer(xl, yl, "sp"),
         mesh=mesh,
         in_specs=(P("dp", "sp", None), P("dp", "sp", None)),
-        out_specs=P("dp"), check_rep=False,
+        out_specs=P("dp"), check_vma=False,
     )
     got = fn(x, y)
     ref = chamfer_distance(x, y, impl="oracle")
@@ -99,7 +99,7 @@ def test_composes_with_dp_axis():
 
 
 def _shard_encoder(model, variables, x, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def fwd(v, x_loc):
         out, mut = model.apply(v, x_loc, True, mutable=["batch_stats"])
@@ -108,7 +108,7 @@ def _shard_encoder(model, variables, x, mesh):
     return shard_map(
         fwd, mesh=mesh,
         in_specs=(P(), P(None, "sp", None)),
-        out_specs=(P(), P()), check_rep=False,
+        out_specs=(P(), P()), check_vma=False,
     )(variables, x)
 
 
@@ -118,7 +118,7 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import numpy as np, jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from fpsg_tpu.nn.pointnet import PointNetFeat
 
 devs = jax.devices()
@@ -140,7 +140,7 @@ for ft in (False, True):
 
     got, got_mut = shard_map(
         fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
-        out_specs=(P(), P()), check_rep=False)(v, x)
+        out_specs=(P(), P()), check_vma=False)(v, x)
     d = float(jnp.max(jnp.abs(got - ref)))
     assert d < 1e-10, (ft, d)
     for a, b in zip(jax.tree.leaves(ref_mut), jax.tree.leaves(got_mut)):
@@ -158,7 +158,7 @@ for ft in (False, True):
     def loss_sp(p):
         out, _ = shard_map(
             fwd, mesh=mesh, in_specs=(P(), P(None, "sp", None)),
-            out_specs=(P(), P()), check_rep=False)(
+            out_specs=(P(), P()), check_vma=False)(
                 {"params": p, "batch_stats": bs}, x)
         return jnp.sum(out ** 2)
 
