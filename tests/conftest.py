@@ -82,6 +82,7 @@ CORE_TESTS = {
     # cli + parity oracles
     "test_cli_end_to_end.py::test_random_init_vgg_warns_loudly",
     "test_reference_source_parity.py::test_stn3d_matches_reference_source",
+    "test_reference_source_parity.py::test_dgcnn_matches_reference_source",
 }
 
 
