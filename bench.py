@@ -289,6 +289,15 @@ def main():
                     sys.stderr.write(stderr)
                 failure = "hung >1h (killed)"
                 last_code = 1
+                # hang-mode check: when the tunnel is DOWN (vs degraded)
+                # every op blocks forever inside the plugin — further
+                # workers would burn their full hour each. Re-probe; if
+                # devices are unreachable, stop burning the driver's
+                # round budget and report tunnel-down (exit 2).
+                if _count_devices_with_timeout(120.0) < 1:
+                    print("bench.py: worker hung and device probe now "
+                          "fails — tunnel down, aborting", file=sys.stderr)
+                    sys.exit(2)
             else:
                 sys.stderr.write(proc.stderr)
                 json_lines = [ln for ln in proc.stdout.splitlines()
