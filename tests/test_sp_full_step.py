@@ -35,7 +35,8 @@ from fpsg_tpu.models import ImgPCProtoNet
 S, Q, IMG, NPTS = 4, 2, 16, 256
 C, NN_ = 2, 2
 PPN = NPTS // C // NN_
-SP = 8
+SP = 4  # sp bugs are sp>=2; the 8-wide mesh is covered by
+        # dryrun_multichip's sp legs (trace/execute is O(SP) here)
 
 
 def _mesh():
