@@ -116,6 +116,9 @@ _X64_WORKER = r"""
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# note: the persistent compile cache does NOT shorten this subprocess
+# (measured 321 s -> 326 s with it): its ~5 min is x64 trace+execute,
+# not XLA compile
 import numpy as np, jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
